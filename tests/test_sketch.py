@@ -1,0 +1,102 @@
+"""Bit-exactness tests of the minimizer sketch against golden indexlr output.
+
+The golden TSVs under the reference's ``tests/expected_outputs`` were produced
+by btllib's indexlr and pin down the full hash/selection contract (values like
+``3714041376220621505:800`` in ``ref.fa.k32.w1000.tsv``).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from ntjoin_tpu.io.fasta import read_fasta
+from ntjoin_tpu.ops.nthash_np import (
+    Sketch,
+    canonical_hashes,
+    derive_hash,
+    encode,
+    sketch_seq,
+)
+
+GOLDEN = "/root/reference/tests/expected_outputs"
+
+
+def load_golden_tsv(path):
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2 or not parts[1]:
+                out[parts[0]] = []
+                continue
+            mxs = []
+            for tok in parts[1].split(" "):
+                fields = tok.split(":")
+                mxs.append((int(fields[0]), int(fields[1])))
+            out[parts[0]] = mxs
+    return out
+
+
+@pytest.mark.parametrize(
+    "fasta,tsv",
+    [
+        ("/root/reference/tests/ref.fa", f"{GOLDEN}/ref.fa.k32.w1000.tsv"),
+        ("/root/reference/tests/scaf.f-f.fa", f"{GOLDEN}/scaf.f-f.fa.k32.w1000.tsv"),
+    ],
+)
+def test_sketch_matches_golden_indexlr(fasta, tsv):
+    golden = load_golden_tsv(tsv)
+    for rec in read_fasta(fasta):
+        got = sketch_seq(rec.seq, 32, 1000)
+        want = golden.get(rec.id, [])
+        assert [(h, p) for h, p in zip(got.hashes.tolist(), got.positions.tolist())] == want
+
+
+def test_short_sequence_yields_empty_sketch():
+    s = sketch_seq("ACGTACGTACGT", 32, 1000)
+    assert s.positions.size == 0
+    # w larger than kmer count
+    s = sketch_seq("A" * 100, 32, 1000)
+    assert s.positions.size == 0
+
+
+def test_invalid_bases_are_skipped():
+    seq = "ACGT" * 64
+    seq_n = seq[:100] + "N" + seq[101:]
+    canon, valid = canonical_hashes(encode(seq_n), 15)
+    # every kmer window covering position 100 is invalid
+    assert not valid[86:101].any()
+    assert valid[:86].all() and valid[101:].all()
+
+
+def test_rolling_reference_agreement():
+    """Closed-form hashes equal the sequential rolling recurrence."""
+    from ntjoin_tpu.constants import SEEDS, srol
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=300).astype(np.uint8)
+    k = 21
+    canon, valid = canonical_hashes(codes, k)
+    assert valid.all()
+    rc = [3 - int(c) for c in codes]
+    for p in range(0, 300 - k + 1, 17):
+        f = 0
+        r = 0
+        for j in range(k):
+            f = srol(f) ^ SEEDS[int(codes[p + j])]
+        for j in reversed(range(k)):
+            r = srol(r) ^ SEEDS[rc[p + j]]
+        assert int(canon[p]) == min(f, r)
+
+
+def test_window_tiebreak_leftmost():
+    """Identical kmers in one window: the leftmost must be selected."""
+    # A period-4 sequence has 4 distinct kmer hashes for k=4; the minimal one
+    # repeats every 4 positions, so each window holds two copies and the
+    # leftmost must win: emitted positions advance in steps of exactly 4.
+    seq = "ACGT" * 50
+    s = sketch_seq(seq, 4, 8)
+    assert s.positions[0] < 4
+    diffs = np.diff(s.positions)
+    assert (diffs == 4).all()
+    assert len(set(s.hashes.tolist())) == 1
