@@ -1,0 +1,218 @@
+"""Command-line driver mirroring the reference's Make interface.
+
+Accepts the same ``key=value`` word style as the reference Makefile
+(``ntJoin:117-147``), including ``reference_config`` CSV files
+(``ntJoin:17-23``), and reproduces its artifact flow: per-assembly minimizer
+TSV + ``.fai`` (with Make-like timestamp reuse, ``ntJoin:204-208``), the
+python scaffolding stage, and the assigned/unassigned/all scaffold FASTA
+trio (``ntJoin:228-236``).
+
+Usage::
+
+    ntjoin-tpu assemble target=scaf.fa references='ref.fa' reference_weights='2' \
+        k=32 w=1000 n=2 [prefix=...] [overlap=True] [agp=True] ...
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from ntjoin_tpu.core.assembly import AssemblySketch
+from ntjoin_tpu.core.config import ScaffoldConfig
+from ntjoin_tpu.core.scaffolder import Scaffolder
+from ntjoin_tpu.emit.writers import write_minimizer_tsv
+from ntjoin_tpu.io.fasta import read_fasta, write_fai
+from ntjoin_tpu.utils.timers import StageTimers
+
+VERSION = "ntjoin-tpu 0.1.0 (capability parity target: ntJoin v1.1.5)"
+
+_DEFAULTS = {
+    "target": "None",
+    "references": "None",
+    "reference_config": "None",
+    "reference_weights": "None",
+    "target_weight": "1",
+    "w": "1000",
+    "k": "32",
+    "overlap": "True",
+    "overlap_w": "10",
+    "overlap_k": "15",
+    "t": "4",
+    "assemble_t": "1",
+    "n": "1",
+    "g": "20",
+    "overlap_g": "",
+    "G": "0",
+    "mkt": "False",
+    "agp": "False",
+    "m": "90",
+    "no_cut": "False",
+    "time": "False",
+    "prefix": "",
+    "backend": "auto",
+}
+
+
+def _parse_vars(words: list[str]) -> dict[str, str]:
+    out = dict(_DEFAULTS)
+    for word in words:
+        if "=" not in word:
+            raise SystemExit(f"ERROR: unrecognized argument {word!r}")
+        key, val = word.split("=", 1)
+        out[key] = val
+    return out
+
+
+def _truthy(val: str) -> bool:
+    return val.strip().lower() in ("true", "1", "yes")
+
+
+def _sketch_backend(name: str):
+    """Pick the sketch implementation: pallas/jax on device, numpy oracle host."""
+    if name in ("auto", "jax", "pallas", "tpu"):
+        try:
+            from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
+
+            return sketch_codes_jax
+        except Exception:  # pragma: no cover - fall back to oracle
+            if name != "auto":
+                raise
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+
+    return sketch_codes
+
+
+def _ensure_sketch(
+    fasta: str, k: int, w: int, force: bool, backend, timers: StageTimers
+) -> tuple[str, AssemblySketch | None]:
+    """Compute (or reuse) the minimizer TSV for one assembly.
+
+    Make-style incrementality: reuse the TSV when it is newer than its FASTA
+    (reference relies on Make timestamps, ``ntJoin:204-205``).
+    """
+    tsv = f"{fasta}.k{k}.w{w}.tsv"
+    fresh = (
+        not force
+        and os.path.exists(tsv)
+        and os.path.getmtime(tsv) >= os.path.getmtime(fasta)
+    )
+    if fresh:
+        return tsv, None
+    with timers.stage(f"sketch:{os.path.basename(fasta)}"):
+        records = read_fasta(fasta)
+        sketches = [backend(rec.codes, k, w) for rec in records]
+        write_minimizer_tsv(tsv, records, sketches, k)
+        if not os.path.exists(fasta + ".fai") or force:
+            write_fai(fasta)
+    import numpy as np
+
+    hs, ps, cs = [], [], []
+    names = []
+    for i, (rec, sk) in enumerate(zip(records, sketches)):
+        names.append(rec.id)
+        hs.append(np.asarray(sk.hashes, dtype=np.uint64))
+        ps.append(np.asarray(sk.positions, dtype=np.int64))
+        cs.append(np.full(len(sk.positions), i, dtype=np.int32))
+    sketch = AssemblySketch.from_stream(
+        tsv,
+        1.0,
+        names,
+        np.concatenate(hs) if hs else np.empty(0, np.uint64),
+        np.concatenate(ps) if ps else np.empty(0, np.int64),
+        np.concatenate(cs) if cs else np.empty(0, np.int32),
+    )
+    return tsv, sketch
+
+
+def assemble(words: list[str]) -> int:
+    force = "-B" in words
+    words = [w for w in words if not w.startswith("-")]
+    v = _parse_vars(words)
+
+    if v["reference_config"] != "None":
+        refs, weights = [], []
+        with open(v["reference_config"], encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split(",")
+                refs.append(parts[0])
+                weights.append(parts[1])
+        v["references"] = " ".join(refs)
+        v["reference_weights"] = " ".join(weights)
+
+    for req in ("target", "references", "reference_weights"):
+        if v[req] == "None":
+            print(f"ERROR: Must set {req}", file=sys.stderr)
+            return 1
+
+    k, w, n = int(v["k"]), int(v["w"]), int(v["n"])
+    prefix = v["prefix"] or f"out.k{k}.w{w}.n{n}"
+    overlap_g = v["overlap_g"] or v["g"]
+    timers = StageTimers(enabled=_truthy(v["time"]), prefix=prefix)
+    backend = _sketch_backend(v["backend"])
+
+    references = v["references"].split()
+    cache: dict[str, AssemblySketch] = {}
+    ref_tsvs = []
+    for fa in references:
+        tsv, sk = _ensure_sketch(fa, k, w, force, backend, timers)
+        ref_tsvs.append(tsv)
+        if sk is not None:
+            cache[tsv] = sk
+    target_tsv, sk = _ensure_sketch(v["target"], k, w, force, backend, timers)
+    if sk is not None:
+        cache[target_tsv] = sk
+
+    cfg = ScaffoldConfig(
+        references=ref_tsvs,
+        target=target_tsv,
+        target_weight=float(v["target_weight"]),
+        reference_weights=[float(x) for x in v["reference_weights"].split()],
+        prefix=prefix,
+        n=n,
+        k=k,
+        w=w,
+        g=int(v["g"]),
+        G=int(v["G"]),
+        mkt=_truthy(v["mkt"]),
+        m=int(v["m"]),
+        t=int(v["assemble_t"]),
+        agp=_truthy(v["agp"]),
+        no_cut=_truthy(v["no_cut"]),
+        overlap=_truthy(v["overlap"]),
+        overlap_gap=int(overlap_g),
+        overlap_k=int(v["overlap_k"]),
+        overlap_w=int(v["overlap_w"]),
+    )
+    with timers.stage("scaffold"):
+        Scaffolder(cfg, sketch_cache=cache).run()
+
+    base = f"{v['target']}.k{k}.w{w}.n{n}"
+    with open(f"{base}.all.scaffolds.fa", "w", encoding="utf-8") as out:
+        for part in (f"{base}.assigned.scaffolds.fa", f"{base}.unassigned.scaffolds.fa"):
+            if os.path.exists(part):
+                with open(part, encoding="utf-8") as fh:
+                    out.write(fh.read())
+    timers.report()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("help", "-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "version":
+        print(VERSION)
+        return 0
+    if cmd == "assemble":
+        return assemble(rest)
+    print(f"ERROR: unknown command {cmd!r} (try: assemble, version, help)", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13,7 +13,10 @@ suite (``tests/expected_outputs/ref.fa.k32.w1000.tsv``):
 * per-base seeds are the classic ntHash seeds,
 * one base step applies the ntHash2 "split rotation" (33-bit low group and
   31-bit high group rotate independently),
-* the canonical k-mer hash is ``min(forward, reverse-complement)``,
+* the canonical k-mer hash is ``(forward + reverse-complement) mod 2^64``
+  (current btllib/ntHash2; pinned by the w=500 cut coordinates asserted in
+  the reference's pytest suite) — the golden TSV artifacts predate this and
+  used ``min(forward, reverse)``, kept as a legacy mode,
 * minimizer *selection* compares canonical hashes,
 * the *emitted* hash is the second multi-hash variant
   ``nte(canonical, k, 1)``.

@@ -1,0 +1,78 @@
+"""Contig orientation from minimizer position trends.
+
+Reference semantics (``ntjoin_assemble.py:30-50``): strict monotonicity wins;
+otherwise either the Mann-Kendall trend test (``--mkt``) or a >= m% monotone
+pair vote decides; '?' when undecidable.
+
+The Mann-Kendall implementation reproduces ``pymannkendall.original_test``
+numerics (S statistic, tie-corrected variance, z, two-sided p) without the
+dependency; a vectorized JAX variant for batch orientation lives in
+``ops/mannkendall.py``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+
+def _norm_sf(x: float) -> float:
+    """1 - Phi(x) via erfc (matches scipy's cephes ndtr to double precision)."""
+    return 0.5 * math.erfc(x / math.sqrt(2.0))
+
+
+def mann_kendall(positions: Sequence[int], alpha: float = 0.05):
+    """Return (trend, h, p, z) of the MK original test."""
+    n = len(positions)
+    s = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            d = positions[j] - positions[i]
+            s += (d > 0) - (d < 0)
+    # tie correction
+    counts: dict[int, int] = {}
+    for x in positions:
+        counts[x] = counts.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in counts.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    p = 2.0 * _norm_sf(abs(z))
+    # pymannkendall: h = |z| > Phi^-1(1 - alpha/2); equivalent two-sided test
+    h = p < alpha and z != 0.0
+    if h and z > 0:
+        trend = "increasing"
+    elif h and z < 0:
+        trend = "decreasing"
+    else:
+        trend = "no trend"
+    return trend, h, p, z
+
+
+def determine_orientation(
+    positions: Sequence[int], use_mkt: bool, m_percent: float
+) -> str:
+    """'+', '-' or '?' for a run of target minimizer positions."""
+    if len(positions) <= 1:
+        return "?"
+    inc = all(x < y for x, y in zip(positions, positions[1:]))
+    if inc:
+        return "+"
+    dec = all(x > y for x, y in zip(positions, positions[1:]))
+    if dec:
+        return "-"
+    if use_mkt:
+        trend, h, p, _ = mann_kendall(positions)
+        if h and p <= 0.05:
+            return "+" if trend == "increasing" else "-"
+    else:
+        up = sum(1 for x, y in zip(positions, positions[1:]) if x < y)
+        positive_perc = up / float(len(positions) - 1) * 100.0
+        if positive_perc >= m_percent:
+            return "+"
+        if 100.0 - positive_perc >= m_percent:
+            return "-"
+    return "?"

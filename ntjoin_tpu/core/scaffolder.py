@@ -1,0 +1,321 @@
+"""The scaffolding pipeline: sketches in, scaffolds + artifacts out.
+
+Orchestrates the full flow of the reference's ``main_scaffolder``
+(``ntjoin_assemble.py:751-786``): load minimizer TSVs, intersect, build and
+filter the minimizer graph, extract paths, convert to oriented contig
+regions, resolve relocations/intersections, optionally trim overlaps, and
+emit scaffold FASTA / .path / AGP / unassigned artifacts byte-compatibly.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import re
+import sys
+
+from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
+from ntjoin_tpu.core.config import ScaffoldConfig
+from ntjoin_tpu.core.overlap_region import OverlapRegionResolver
+from ntjoin_tpu.core.overlap_trim import (
+    sketch_segment,
+    trim_overlapping_path,
+    valid_mask_coords,
+)
+from ntjoin_tpu.core.pathnode import Bed, PathNode
+from ntjoin_tpu.core.paths import (
+    PathBuilder,
+    adjust_paths_no_cut,
+    merge_relocations,
+    remove_overlapping_regions,
+    tally_incorporated,
+    zero_terminal_gap,
+)
+from ntjoin_tpu.emit.writers import (
+    write_agp_path,
+    write_agp_unassigned,
+    write_bed,
+    write_dot,
+)
+from ntjoin_tpu.graph.mingraph import build_graph
+from ntjoin_tpu.graph.paths import find_paths
+from ntjoin_tpu.io.fasta import read_fasta_dict, reverse_complement
+from ntjoin_tpu.ops.intervals import complement, self_intersect_counts, sort_beds
+
+# Load-bearing naming convention: the target FASTA path is derived from the
+# TSV filename (reference ``ntjoin_assemble.py:535,764``).
+_TSV_NAME_RE = re.compile(r"^(\S+)(.k\d+.w\d+)\.tsv")
+
+
+class Scaffolder:
+    """One scaffolding run."""
+
+    def __init__(self, config: ScaffoldConfig, sketch_cache: dict | None = None):
+        config.validate()
+        self.cfg = config
+        self._sketch_cache = sketch_cache or {}
+
+    # -- logging ---------------------------------------------------------
+
+    def _log(self, *msg):
+        if self.cfg.verbose:
+            print(datetime.datetime.today(), ":", *msg, file=sys.stdout, flush=True)
+
+    # -- pipeline --------------------------------------------------------
+
+    def run(self) -> None:
+        cfg = self.cfg
+
+        self._log("Reading minimizers")
+        assemblies = [
+            self._load_sketch(path, wt)
+            for path, wt in zip(cfg.references, cfg.reference_weights)
+        ]
+        assemblies.append(self._load_sketch(cfg.target, cfg.target_weight))
+        self.target_idx = len(assemblies) - 1
+        self.shared = SharedIndex(assemblies)
+
+        self._log("Generating minimizer graph")
+        self.graph = build_graph(self.shared)
+        if cfg.write_dot:
+            write_dot(cfg.prefix + ".mx.dot", self.graph, self.shared)
+
+        self._log("Filtering the graph")
+        min_weight = min(a.weight for a in assemblies)
+        self.graph.global_weight_filter(cfg.n, min_weight)
+
+        self.mx_extremes = self.shared.target_extremes(self.target_idx)
+
+        match = _TSV_NAME_RE.search(cfg.target)
+        if not match:
+            raise ValueError(
+                "Target assembly minimizer TSV file must follow the naming "
+                "convention: target_assembly.fa.k<k>.w<w>.tsv"
+            )
+        self.assembly_fa, self.params = match.group(1), match.group(2)
+        self.scaffolds = read_fasta_dict(self.assembly_fa)
+        scaffold_lengths = {name: rec.length for name, rec in self.scaffolds.items()}
+
+        self._log("Finding paths")
+        graph_paths, n_components = find_paths(self.graph, self.shared, cfg.n)
+        self._log(f"Total number of components in graph: {n_components}")
+
+        builder = PathBuilder(
+            self.shared,
+            self.target_idx,
+            scaffold_lengths,
+            self.mx_extremes,
+            k=cfg.k,
+            g_min=cfg.g,
+            g_max=cfg.G,
+            use_mkt=cfg.mkt,
+            m_percent=cfg.m,
+        )
+
+        # format + tally, then a relocation-merge pass (ref :704-719)
+        paths: list[list[PathNode]] = []
+        incorporated: dict[str, set[Bed]] = {}
+        for mx_path, view in graph_paths:
+            ctg_path = builder.format_path(mx_path, view)
+            paths.append(ctg_path)
+            tally_incorporated(incorporated, ctg_path)
+        paths = [merge_relocations(p, incorporated) for p in paths]
+
+        if cfg.no_cut:
+            paths = adjust_paths_no_cut(paths, scaffold_lengths, incorporated, cfg.G)
+
+        intersecting = self._intersecting_regions(incorporated)
+
+        self._log("Printing output scaffolds")
+        self._emit(paths, intersecting, incorporated)
+        self._log("DONE!")
+
+    # -- input -----------------------------------------------------------
+
+    def _load_sketch(self, path: str, weight: float) -> AssemblySketch:
+        cached = self._sketch_cache.get(path)
+        if cached is not None:
+            cached.weight = weight
+            return cached
+        return AssemblySketch.from_tsv(path, weight)
+
+    # -- intersecting claimed regions (ref :660-686) ---------------------
+
+    @staticmethod
+    def _intersecting_regions(
+        incorporated: dict[str, set[Bed]]
+    ) -> dict[str, dict[Bed, Bed | None]]:
+        beds = [b for bed_set in incorporated.values() for b in bed_set]
+        beds = sort_beds(beds)
+        counts = self_intersect_counts(beds)
+        resolvers: dict[str, OverlapRegionResolver] = {}
+        for bed, count in zip(beds, counts):
+            if count > 1:
+                resolvers.setdefault(bed.contig, OverlapRegionResolver()).add(bed)
+        return {ctg: r.resolve() for ctg, r in resolvers.items()}
+
+    # -- sequence assembly ----------------------------------------------
+
+    def _segment_seq(self, node: PathNode) -> str:
+        """Oriented region sequence plus its gap Ns (ref :326-332)."""
+        seq = self.scaffolds[node.contig].seq[node.start : node.end]
+        if node.ori == "-":
+            seq = reverse_complement(seq)
+        return seq + "N" * node.gap_size
+
+    def _adjusted_seq(self, sequence: str, node: PathNode) -> str:
+        """Overlap-trimmed segment sequence (ref :519-527)."""
+        out = sequence[node.start_adjust : node.end_adjusted_coordinate()]
+        if node.gap_size > 0:
+            if node.end_adjusted_coordinate() == node.aligned_length:
+                return out + "N" * node.gap_size
+            return out + "N" * self.cfg.overlap_gap
+        return out
+
+    @staticmethod
+    def _join_sequences(
+        sequences: list[str], path: list[PathNode], segments: list[Bed]
+    ) -> str:
+        """Join segments, terminal-N strip with coordinate fixups (ref :406-439)."""
+        stripped = sequences[0].lstrip("Nn")
+        if len(stripped) != len(sequences[0]):
+            diff = len(sequences[0]) - len(stripped)
+            sequences[0] = stripped
+            for node in path:
+                if (
+                    node.contig == segments[0].contig
+                    and node.start == segments[0].start
+                    and node.end == segments[0].end
+                ):
+                    if node.ori == "+":
+                        node.start += diff
+                    else:
+                        node.end -= diff
+                    assert len(stripped) - node.gap_size == node.end - node.start
+                    break
+        stripped = sequences[-1].rstrip("Nn")
+        if len(stripped) != len(sequences[-1]):
+            diff = len(sequences[-1]) - len(stripped)
+            sequences[-1] = stripped
+            for node in reversed(path):
+                if (
+                    node.contig == segments[-1].contig
+                    and node.start == segments[-1].start
+                    and node.end == segments[-1].end
+                ):
+                    if node.ori == "+":
+                        node.end -= diff
+                    else:
+                        node.start += diff
+                    assert len(stripped) == node.end - node.start
+                    break
+        return "".join(sequences)
+
+    # -- overlap trimming driver (ref :468-499, 530-578) -----------------
+
+    def _trim_overlaps(self, paths: list[list[PathNode]]) -> None:
+        cfg = self.cfg
+        seg_file = None
+        seg_path = cfg.prefix + ".segments.fa"
+        seg_file = open(seg_path, "w", encoding="utf-8")
+        trim_jobs = []
+        for path in paths:
+            nodes = [n for n in path if n.ori != "?"]
+            sequences = [self._segment_seq(n) for n in nodes]
+            if len(sequences) < 2:
+                continue
+            coords = valid_mask_coords(nodes, cfg.overlap_k, cfg.overlap_w)
+            masked_seqs = []
+            for seq, node, (lo, hi) in zip(sequences, nodes, coords):
+                core = seq.strip("Nn")
+                masked = core[:lo] + "N" * (hi - lo) + core[hi:]
+                assert len(masked) == node.aligned_length
+                seg_file.write(
+                    f">{node.contig}_{node.start}_{node.end} { node.raw_gap_size}\n{masked}\n"
+                )
+                masked_seqs.append(masked)
+            trim_jobs.append((nodes, masked_seqs))
+        seg_file.close()
+
+        for nodes, masked_seqs in trim_jobs:
+            mxs: dict[int, list[int]] = {}
+            infos: dict[int, dict[int, int]] = {}
+            for ct, seq in enumerate(masked_seqs):
+                order, info = sketch_segment(
+                    seq, ct, nodes, cfg.overlap_k, cfg.overlap_w
+                )
+                mxs[ct] = order
+                infos[ct] = info
+            trim_overlapping_path(nodes, mxs, infos)
+
+        if not cfg.keep_segments_fa and os.path.exists(seg_path):
+            os.remove(seg_path)
+
+    # -- emission (ref print_scaffolds :530-626) --------------------------
+
+    def _emit(self, paths, intersecting, incorporated) -> None:
+        cfg = self.cfg
+        assigned_path = f"{self.assembly_fa}{self.params}.n{cfg.n}.assigned.scaffolds.fa"
+        for i, path in enumerate(paths):
+            path = merge_relocations(path, incorporated)
+            path = remove_overlapping_regions(path, intersecting)
+            zero_terminal_gap(path)
+            paths[i] = path
+
+        if cfg.overlap:
+            self._trim_overlaps(paths)
+
+        incorporated_list: list[Bed] = []
+        ct = 0
+        agp_file = open(cfg.prefix + ".agp", "w", encoding="utf-8") if cfg.agp else None
+        with open(assigned_path, "w", encoding="utf-8") as outfile, open(
+            cfg.prefix + ".path", "w", encoding="utf-8"
+        ) as pathfile:
+            pathfile.write(self.assembly_fa + "\n")
+            for path in paths:
+                nodes = [n for n in path if n.ori != "?"]
+                sequences = [self._segment_seq(n) for n in nodes]
+                segments = [n.bed() for n in nodes]
+                if len(sequences) < 2:
+                    continue
+                if cfg.overlap:
+                    sequences = [
+                        self._adjusted_seq(seq, nodes[i])
+                        for i, seq in enumerate(sequences)
+                    ]
+                ctg_id = f"ntJoin{ct}"
+                ctg_sequence = self._join_sequences(sequences, path, segments)
+                outfile.write(f">{ctg_id}\n{ctg_sequence}\n")
+                incorporated_list.extend(segments)
+                path_str = " ".join(
+                    f"{n.contig}{n.ori}:{n.adjusted_start()}-"
+                    f"{n.adjusted_end()} {n.gap_size}N"
+                    for n in path
+                )
+                path_str = re.sub(r"\s+\d+N$", r"", path_str)
+                pathfile.write(f"{ctg_id}\t{path_str}\n")
+                if agp_file:
+                    write_agp_path(agp_file, ctg_id, path_str)
+                ct += 1
+            self._emit_unassigned(incorporated_list, agp_file)
+        if agp_file:
+            agp_file.close()
+
+    # -- unassigned leftovers (ref print_unassigned :628-658) -------------
+
+    def _emit_unassigned(self, incorporated_list: list[Bed], agp_file) -> None:
+        cfg = self.cfg
+        genome = [(name, rec.length) for name, rec in self.scaffolds.items()]
+        missing = complement(incorporated_list, genome)
+        write_bed(cfg.prefix + "." + cfg.target + ".unassigned.bed", missing)
+        out_path = (
+            f"{self.assembly_fa}{self.params}.n{cfg.n}.unassigned.scaffolds.fa"
+        )
+        with open(out_path, "w", encoding="utf-8") as out:
+            for bed in missing:
+                header = f"{bed.contig}:{bed.start}-{bed.end}"
+                seq = self.scaffolds[bed.contig].seq[bed.start : bed.end]
+                if agp_file:
+                    write_agp_unassigned(agp_file, header, seq)
+                seq = seq.strip().strip("Nn")
+                if seq:
+                    out.write(f">{header}\n{seq}\n")

@@ -1,0 +1,214 @@
+"""Linear path extraction from the minimizer graph.
+
+Replaces the reference's per-component ``multiprocessing.Pool`` loop
+(``ntjoin.py:137-176``) with a single vectorized escalation over all
+components in lockstep:
+
+* each component raises its branch-edge weight threshold independently until
+  its subgraph is linear (reference ``filter_graph`` + while loop,
+  ``ntjoin.py:70-78,143-146``); running every component's iteration ``s`` in
+  the same array pass is equivalent because a component's threshold is always
+  ``n + (iterations it has executed)``,
+* circular components get one edge broken by the reference's rule
+  (``ntjoin.py:115-135``),
+* the final walks and validations happen per subcomponent on small adjacency
+  views (reference ``ntjoin.py:147-161``).
+"""
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ntjoin_tpu.core.assembly import SharedIndex
+from ntjoin_tpu.graph.mingraph import MinimizerGraph
+
+
+@dataclass
+class SubGraphView:
+    """A subcomponent: adjacency in edge-insertion order + edge attributes.
+
+    Carried along with each extracted path because gap estimation later walks
+    shortest paths and intersects per-edge assembly support on this exact
+    filtered subgraph (reference ``ntjoin_assemble.py:78-83``).
+    """
+
+    graph: MinimizerGraph
+    nodes: list[int]
+    adj: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
+    num_edges: int = 0
+
+    def add_edge(self, eid: int) -> None:
+        s = int(self.graph.src[eid])
+        d = int(self.graph.dst[eid])
+        self.adj.setdefault(s, []).append((d, eid))
+        self.adj.setdefault(d, []).append((s, eid))
+        self.num_edges += 1
+
+    def remove_edge(self, u: int, v: int) -> None:
+        self.adj[u] = [(n, e) for n, e in self.adj[u] if n != v]
+        self.adj[v] = [(n, e) for n, e in self.adj[v] if n != u]
+        self.num_edges -= 1
+
+    def degree(self, node: int) -> int:
+        return len(self.adj.get(node, []))
+
+    def shortest_path(self, s: int, t: int) -> list[int]:
+        """BFS shortest path (unweighted), neighbor order = edge order."""
+        if s == t:
+            return [s]
+        parent: dict[int, int] = {s: s}
+        q: deque[int] = deque([s])
+        while q:
+            cur = q.popleft()
+            for nbr, _ in self.adj.get(cur, []):
+                if nbr not in parent:
+                    parent[nbr] = cur
+                    if nbr == t:
+                        path = [t]
+                        while path[-1] != s:
+                            path.append(parent[path[-1]])
+                        return path[::-1]
+                    q.append(nbr)
+        return []
+
+    def edge_id(self, u: int, v: int) -> int | None:
+        for nbr, eid in self.adj.get(u, []):
+            if nbr == v:
+                return eid
+        return None
+
+    def path_support_masks(self, path: list[int]) -> list[int]:
+        masks = []
+        for a, b in zip(path, path[1:]):
+            eid = self.edge_id(a, b)
+            masks.append(int(self.graph.support_mask[eid]))
+        return masks
+
+
+def escalating_branch_filter(
+    graph: MinimizerGraph, comp: np.ndarray, n_min: float, max_weight: float
+) -> None:
+    """Per-component lockstep branch-edge filtering until linear (in place)."""
+    ncomp = int(comp.max()) + 1 if comp.size else 0
+    if ncomp == 0:
+        return
+    comp_maxdeg = np.zeros(ncomp, dtype=np.int64)
+
+    def refresh_done():
+        comp_maxdeg[:] = 0
+        np.maximum.at(comp_maxdeg, comp, graph.degrees())
+        return comp_maxdeg <= 2
+
+    done = refresh_done()
+    threshold = n_min
+    while (~done).any() and threshold <= max_weight:
+        deg = graph.degrees()
+        branch = deg > 2
+        ecomp = comp[graph.src]
+        rm = (
+            graph.alive
+            & ~done[ecomp]
+            & (graph.weight < threshold)
+            & (branch[graph.src] | branch[graph.dst])
+        )
+        graph.alive &= ~rm
+        done = refresh_done()
+        threshold += 1
+
+
+def _break_circular(
+    view: SubGraphView, shared: SharedIndex, weights: np.ndarray
+) -> list[int]:
+    """Break one edge of an all-degree-2 (circular) subcomponent.
+
+    Rule from reference ``check_circularity`` (``ntjoin.py:115-135``): anchor
+    at the minimum-position vertex in the *first* maximum-weight assembly and
+    cut towards its highest-position neighbour.
+    """
+    if not all(view.degree(n) == 2 for n in view.nodes):
+        return []
+    a_hi = int(np.argmax(weights))  # first max-weight assembly (stable)
+    pos = shared.pos[a_hi]
+    v = min(view.nodes, key=lambda n: (int(pos[n]), n))
+    nbrs = [n for n, _ in view.adj[v]]
+    # stable sort descending by position -> first among ties in edge order
+    hi_nbr = sorted(nbrs, key=lambda n: -int(pos[n]))[0]
+    view.remove_edge(v, hi_nbr)
+    return [v, hi_nbr]
+
+
+def _pick_endpoints(
+    sources: list[int], shared: SharedIndex, weights: np.ndarray
+) -> tuple[int, int]:
+    """Choose walk direction from the *last* maximum-weight assembly.
+
+    Reference ``determine_source_vertex`` (``ntjoin.py:91-104``) pops the last
+    max-weight assembly and the last position-extreme vertex; replicated.
+    """
+    max_w = weights.max()
+    a_max = max(i for i, w in enumerate(weights) if w == max_w)
+    pos = shared.pos[a_max]
+    min_pos = min(int(pos[s]) for s in sources)
+    max_pos = max(int(pos[s]) for s in sources)
+    source = [s for s in sources if int(pos[s]) == min_pos][-1]
+    target = [s for s in sources if int(pos[s]) == max_pos][-1]
+    return source, target
+
+
+def find_paths(
+    graph: MinimizerGraph, shared: SharedIndex, n_min: float
+) -> tuple[list[tuple[list[int], SubGraphView]], int]:
+    """Extract validated simple paths from every component.
+
+    Returns (paths, total component count).  Path order is deterministic:
+    components by smallest member node id (node ids are hash-sorted), matching
+    no particular reference order — the reference's own order is python-set
+    nondeterministic (``ntjoin_utils.py:94,121``).
+    """
+    weights = np.array([a.weight for a in shared.assemblies])
+    comp = graph.components()
+    ncomp = int(comp.max()) + 1 if comp.size else 0
+
+    escalating_branch_filter(graph, comp, n_min, float(weights.sum()))
+
+    sub = graph.components()
+    # node lists per subcomponent, ids ascending
+    order = np.argsort(sub, kind="stable")
+    sub_sorted = sub[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], sub_sorted[1:] != sub_sorted[:-1]])
+    )
+    bounds = np.append(starts, sub_sorted.shape[0])
+    views: dict[int, SubGraphView] = {}
+    for si in range(starts.shape[0]):
+        members = order[bounds[si] : bounds[si + 1]]
+        label = int(sub_sorted[starts[si]])
+        views[label] = SubGraphView(graph, [int(m) for m in members])
+    for eid in np.flatnonzero(graph.alive):
+        views[int(sub[graph.src[eid]])].add_edge(int(eid))
+
+    # deterministic order: (parent component min node, subcomponent min node)
+    labels = sorted(
+        views,
+        key=lambda lb: (int(comp[views[lb].nodes[0]]), views[lb].nodes[0]),
+    )
+
+    results: list[tuple[list[int], SubGraphView]] = []
+    for lb in labels:
+        view = views[lb]
+        sources = [n for n in view.nodes if view.degree(n) == 1]
+        if not sources:
+            sources = _break_circular(view, shared, weights)
+        if len(sources) != 2:
+            continue
+        s, t = _pick_endpoints(sources, shared, weights)
+        path = view.shortest_path(s, t)
+        if (
+            len(path) == len(view.nodes)
+            and len(path) - 1 == view.num_edges
+            and len(path) == len(set(path))
+        ):
+            results.append((path, view))
+    return results, ncomp

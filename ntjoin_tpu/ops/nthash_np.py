@@ -17,7 +17,9 @@ paths.
 Semantics replicated from btllib's ``indexlr`` (invoked by the reference at
 ``ntJoin:204-205``; TSV contract parsed at reference ``ntjoin_utils.py:173-185``):
 
-* canonical hash = min(forward, reverse-complement) per k-mer,
+* canonical hash = (forward + reverse-complement) mod 2^64 per k-mer
+  (the ntHash2 strand-neutral combiner; a legacy ``min`` mode reproduces the
+  older golden TSV artifacts),
 * k-mers containing a non-ACGT base are skipped entirely (the window slides
   over the surviving k-mers, not over genomic positions),
 * a record yields no minimizers when ``k > len`` or ``w > len - k + 1`` or
@@ -81,8 +83,17 @@ def _srol_var(x: np.ndarray, n: np.ndarray) -> np.ndarray:
     return (high << _U64(ROT_LOW_BITS)) | low
 
 
-def canonical_hashes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+def canonical_hashes(
+    codes: np.ndarray, k: int, canonical: str = "add"
+) -> tuple[np.ndarray, np.ndarray]:
     """Canonical ntHash2 for every k-mer start position.
+
+    ``canonical`` picks the strand-symmetric combiner: ``"add"`` is
+    ``(forward + reverse) mod 2^64`` — the current ntHash2/btllib definition
+    the reference test expectations bind (verified against the w=500 cut
+    coordinates in reference ``tests/ntjoin_test.py:128-150``); ``"min"`` is
+    the legacy ``min(forward, reverse)`` that produced the golden TSVs under
+    ``tests/expected_outputs``.
 
     Returns ``(hashes, valid)`` of length ``len(codes) - k + 1``; ``valid`` is
     False where the k-mer window touches a non-ACGT base (such positions carry
@@ -108,7 +119,7 @@ def canonical_hashes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]
     starts = np.arange(n - k + 1, dtype=np.int64)
     fwd = _srol_var(p[starts + k] ^ p[starts], (starts + k - 1) % SROL_PERIOD)
     rev = _srol_var(q[starts + k] ^ q[starts], (-starts) % SROL_PERIOD)
-    canon = np.minimum(fwd, rev)
+    canon = fwd + rev if canonical == "add" else np.minimum(fwd, rev)
 
     bad = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(codes >= CODE_INVALID, out=bad[1:])
@@ -176,13 +187,15 @@ class Sketch:
     hashes: np.ndarray  # uint64 emitted hash values (variant 1)
 
 
-def sketch_codes(codes: np.ndarray, k: int, w: int) -> Sketch:
+def sketch_codes(
+    codes: np.ndarray, k: int, w: int, canonical: str = "add"
+) -> Sketch:
     """Ordered minimizer sketch of an encoded sequence (oracle path)."""
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=_U64))
     n = codes.shape[0]
     if k > n or w > n - k + 1:
         return empty
-    canon, valid = canonical_hashes(codes, k)
+    canon, valid = canonical_hashes(codes, k, canonical)
     vpos = np.flatnonzero(valid)
     if vpos.shape[0] < w:
         return empty
@@ -195,6 +208,6 @@ def sketch_codes(codes: np.ndarray, k: int, w: int) -> Sketch:
     return Sketch(positions=vpos[sel], hashes=derive_hash(vh[sel], k))
 
 
-def sketch_seq(seq: str | bytes, k: int, w: int) -> Sketch:
+def sketch_seq(seq: str | bytes, k: int, w: int, canonical: str = "add") -> Sketch:
     """Ordered minimizer sketch of an ASCII sequence."""
-    return sketch_codes(encode(seq), k, w)
+    return sketch_codes(encode(seq), k, w, canonical)

@@ -1,0 +1,259 @@
+"""End-to-end pipeline tests — ports of the reference's full pytest suite.
+
+Every expected path/AGP string below is copied verbatim from the reference
+assertions (``tests/ntjoin_test.py:81-225``); these strings are the
+byte-equivalence contract of the framework.  Runs happen in a temp dir via
+the CLI, exactly as the reference suite shells through its Makefile.
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REF = "/root/reference/tests"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FIXTURES = [
+    "ref.fa",
+    "ref.multiple.fa",
+    "scaf.f-f.fa",
+    "scaf.f-f.copy.fa",
+    "scaf.f-f.overlapping.fa",
+    "scaf.f-f.termN.fa",
+    "scaf.f-f.termN.unassigned.fa",
+    "scaf.f-r.fa",
+    "scaf.f-r.overlapping.fa",
+    "scaf.misassembled.f-f.r-r.fa",
+    "scaf.misassembled.f-r.r-f.fa",
+    "scaf.multiple.fa",
+    "scaf.r-f.fa",
+    "scaf.r-r.fa",
+    "scaf.r-r.overlapping.fa",
+    "test_config_multiple.csv",
+    "test_config_single.csv",
+]
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    for f in FIXTURES:
+        shutil.copy(os.path.join(REF, f), tmp_path / f)
+    return tmp_path
+
+
+def launch(workdir, prefix, *args):
+    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B", *args]
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr + res.stdout
+    paths = []
+    with open(workdir / f"{prefix}.path") as fh:
+        for line in fh:
+            if line.startswith("ntJoin"):
+                paths.append(line.strip())
+    return paths
+
+
+def run_pair(workdir, ref, target, prefix, window=1000, n=2, **kw):
+    extra = [f"{k}={v}" for k, v in kw.items()]
+    return launch(
+        workdir, prefix,
+        f"target={target}", "target_weight=1", f"references={ref}",
+        "reference_weights=2", f"prefix={prefix}", "k=32", f"w={window}",
+        f"n={n}", *extra,
+    )
+
+
+def run_agp(workdir, ref, target, prefix, window=1000, n=2, **kw):
+    run_pair(workdir, ref, target, prefix, window, n, agp="True", **kw)
+    with open(workdir / f"{prefix}.agp") as fh:
+        return [line.strip() for line in fh]
+
+
+# -- orientation cases (reference ntjoin_test.py:81-111) --
+
+
+def test_mx_f_f(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.f-f.fa", "f-f_test", overlap="False")
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_mx_f_f_termN(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.f-f.termN.fa", "f-f_test", overlap="False")
+    assert paths == ["ntJoin0\t1_f+:4-1985 20N 2_f+:0-2329"]
+
+
+def test_mx_f_r(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.f-r.fa", "f-r_test", overlap="False")
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_r-:0-2329"]
+
+
+def test_mx_r_f(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.r-f.fa", "r-f_test", overlap="False")
+    assert paths == ["ntJoin0\t1_r-:0-1981 20N 2_f+:0-2329"]
+
+
+def test_mx_r_r(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.r-r.fa", "r-r_test", overlap="False")
+    assert paths == ["ntJoin0\t1_r-:0-1981 20N 2_r-:0-2329"]
+
+
+# -- gap estimation (reference :115-122) --
+
+
+def test_gap_dist_multiple(workdir):
+    paths = run_pair(
+        workdir, "ref.multiple.fa", "scaf.multiple.fa", "gap-dist_test",
+        window=500, n=1, overlap="False",
+    )
+    assert len(paths) == 2
+    got = {p.split("\t")[1] for p in paths}
+    assert got == {"2_1_p+:0-2492 100N 2_2_n-:0-2574", "1_1_p+:0-1744 124N 1_2_p+:0-1844"}
+
+
+# -- misassembly cutting (reference :128-158) --
+
+
+def test_regions_ff_rr(workdir):
+    paths = run_pair(
+        workdir, "ref.multiple.fa", "scaf.misassembled.f-f.r-r.fa",
+        "regions-ff-rr_test", window=500, n=1, overlap="False",
+    )
+    assert len(paths) == 2
+    got = {p.split("\t")[1] for p in paths}
+    assert got == {
+        "2_1n-1_2p-:0-2232 20N 1_1p-2_2n-:2110-4489",
+        "1_1p-2_2n+:0-1568 477N 2_1n-1_2p+:2712-4379",
+    }
+
+
+def test_regions_ff_rr_nocut(workdir):
+    paths = run_pair(
+        workdir, "ref.multiple.fa", "scaf.misassembled.f-f.r-r.fa",
+        "regions-ff-rr-nocut_test", window=500, n=1, no_cut="True", overlap="False",
+    )
+    assert len(paths) == 1
+    assert paths[0].split("\t")[1] == "2_1n-1_2p-:0-4379 20N 1_1p-2_2n-:0-4489"
+
+
+def test_regions_fr_rf(workdir):
+    paths = run_pair(
+        workdir, "ref.multiple.fa", "scaf.misassembled.f-r.r-f.fa",
+        "regions-fr-rf_test", window=500, n=2,
+    )
+    assert len(paths) == 2
+    got = {p.split("\t")[1] for p in paths}
+    assert got == {
+        "2_1n-1_2n-:0-2232 253N 1_1p-2_2p+:2058-4489",
+        "1_1p-2_2p+:0-1624 191N 2_1n-1_2n-:2518-4379",
+    }
+
+
+def test_regions_fr_rf_config(workdir):
+    paths = launch(
+        workdir, "regions-fr-rf_test",
+        "target=scaf.misassembled.f-r.r-f.fa", "target_weight=1",
+        "reference_config=test_config_single.csv", "prefix=regions-fr-rf_test",
+        "k=32", "w=500", "n=2",
+    )
+    assert len(paths) == 2
+    got = {p.split("\t")[1] for p in paths}
+    assert got == {
+        "2_1n-1_2n-:0-2232 253N 1_1p-2_2p+:2058-4489",
+        "1_1p-2_2p+:0-1624 191N 2_1n-1_2n-:2518-4379",
+    }
+
+
+# -- multiple references (reference :161-177) --
+
+
+def test_regions_3(workdir):
+    paths = launch(
+        workdir, "f-f-f_test",
+        "target=scaf.f-f.fa", "target_weight=1",
+        "references=ref.fa scaf.f-f.copy.fa", "reference_weights=2 2",
+        "prefix=f-f-f_test", "k=32", "w=1000", "n=1",
+    )
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_regions_3_config(workdir):
+    paths = launch(
+        workdir, "f-f-f_test",
+        "target=scaf.f-f.fa", "target_weight=1",
+        "reference_config=test_config_multiple.csv",
+        "prefix=f-f-f_test", "k=32", "w=1000", "n=1",
+    )
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_regions_3_config_extra(workdir):
+    paths = launch(
+        workdir, "f-f-f_test",
+        "target=scaf.f-f.fa", "target_weight=1", "reference=na",
+        "reference_weights=na", "reference_config=test_config_multiple.csv",
+        "prefix=f-f-f_test", "k=32", "w=1000", "n=1",
+    )
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+# -- AGP output (reference :180-196) --
+
+
+def test_mx_r_f_agp(workdir):
+    agp = run_agp(workdir, "ref.fa", "scaf.r-f.fa", "r-f_test")
+    assert agp == [
+        "ntJoin0\t1\t1981\t1\tW\t1_r\t1\t1981\t-",
+        "ntJoin0\t1982\t2001\t2\tN\t20\tscaffold\tyes\talign_genus",
+        "ntJoin0\t2002\t4330\t3\tW\t2_f\t1\t2329\t+",
+    ]
+
+
+def test_mx_f_f_agp(workdir):
+    agp = run_agp(workdir, "ref.fa", "scaf.f-f.termN.unassigned.fa", "f-f_test")
+    assert agp == [
+        "ntJoin0\t1\t1981\t1\tW\t1_f\t5\t1985\t+",
+        "ntJoin0\t1982\t2001\t2\tN\t20\tscaffold\tyes\talign_genus",
+        "ntJoin0\t2002\t4330\t3\tW\t2_f\t1\t2329\t+",
+        "unassigned:0-14\t1\t8\t1\tW\tunassigned\t3\t10\t+",
+    ]
+
+
+# -- overlap trimming (reference :199-220) --
+
+
+def test_mx_f_f_overlap(workdir):
+    paths = run_pair(
+        workdir, "ref.fa", "scaf.f-f.overlapping.fa", "f-f_test_overlap",
+        overlap="True",
+    )
+    assert paths[-1] == "ntJoin0\t1+:0-2033 20N 2+:34-2331"
+
+
+def test_mx_f_r_overlap(workdir):
+    paths = run_pair(
+        workdir, "ref.fa", "scaf.f-r.overlapping.fa", "f-r_test_overlap",
+        overlap="True",
+    )
+    assert paths[-1] == "ntJoin0\t1+:0-2033 20N 2-:0-2297"
+
+
+def test_mx_f_r_overlap_agp(workdir):
+    agp = run_agp(
+        workdir, "ref.fa", "scaf.f-r.overlapping.fa", "f-r_test_overlap_agp"
+    )
+    assert agp == [
+        "ntJoin0\t1\t2033\t1\tW\t1\t1\t2033\t+",
+        "ntJoin0\t2034\t2053\t2\tN\t20\tscaffold\tyes\talign_genus",
+        "ntJoin0\t2054\t4350\t3\tW\t2\t1\t2297\t-",
+    ]
+
+
+def test_mx_r_r_overlap(workdir):
+    paths = run_pair(
+        workdir, "ref.fa", "scaf.r-r.overlapping.fa", "f-r_test_overlap",
+        overlap="True",
+    )
+    assert paths[-1] == "ntJoin0\t1-:66-2099 20N 2-:0-2297"

@@ -44,10 +44,18 @@ def load_golden_tsv(path):
         ("/root/reference/tests/scaf.f-f.fa", f"{GOLDEN}/scaf.f-f.fa.k32.w1000.tsv"),
     ],
 )
-def test_sketch_matches_golden_indexlr(fasta, tsv):
+def test_sketch_matches_golden_indexlr_legacy_min(fasta, tsv):
+    """Legacy min-canonical mode is bit-identical to the archived golden TSVs.
+
+    The golden artifacts predate ntHash2's add-canonical; matching them
+    end-to-end (positions AND emitted 64-bit values) pins every other part of
+    the sketch contract: seeds, split rotation, window argmin, tie-breaks,
+    dedup and the nte1 output transform.  The current-era add-canonical is
+    exercised by the pipeline tests' cut coordinates.
+    """
     golden = load_golden_tsv(tsv)
     for rec in read_fasta(fasta):
-        got = sketch_seq(rec.seq, 32, 1000)
+        got = sketch_seq(rec.seq, 32, 1000, canonical="min")
         want = golden.get(rec.id, [])
         assert [(h, p) for h, p in zip(got.hashes.tolist(), got.positions.tolist())] == want
 
@@ -76,7 +84,8 @@ def test_rolling_reference_agreement():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=300).astype(np.uint8)
     k = 21
-    canon, valid = canonical_hashes(codes, k)
+    canon_add, valid = canonical_hashes(codes, k, "add")
+    canon_min, _ = canonical_hashes(codes, k, "min")
     assert valid.all()
     rc = [3 - int(c) for c in codes]
     for p in range(0, 300 - k + 1, 17):
@@ -86,17 +95,20 @@ def test_rolling_reference_agreement():
             f = srol(f) ^ SEEDS[int(codes[p + j])]
         for j in reversed(range(k)):
             r = srol(r) ^ SEEDS[rc[p + j]]
-        assert int(canon[p]) == min(f, r)
+        assert int(canon_add[p]) == (f + r) % (1 << 64)
+        assert int(canon_min[p]) == min(f, r)
 
 
 def test_window_tiebreak_leftmost():
     """Identical kmers in one window: the leftmost must be selected."""
-    # A period-4 sequence has 4 distinct kmer hashes for k=4; the minimal one
-    # repeats every 4 positions, so each window holds two copies and the
-    # leftmost must win: emitted positions advance in steps of exactly 4.
+    # A period-4 sequence for k=4 has 4 rotations collapsing into 2 canonical
+    # hashes (add-canonical is reverse-complement symmetric: CGTA == rc TACG),
+    # so the minimal hash repeats every 2 positions.  Each window holds
+    # several copies and the leftmost must win: emitted positions advance in
+    # steps of exactly 2.
     seq = "ACGT" * 50
     s = sketch_seq(seq, 4, 8)
-    assert s.positions[0] < 4
+    assert s.positions[0] < 2
     diffs = np.diff(s.positions)
-    assert (diffs == 4).all()
+    assert (diffs == 2).all()
     assert len(set(s.hashes.tolist())) == 1
