@@ -1,0 +1,220 @@
+// Host-native runtime components: streaming FASTA parsing and a rolling
+// minimizer sketcher.  C ABI for ctypes binding from python.
+//
+// These are the framework's native equivalents of the reference pipeline's
+// external C/C++ tools (btllib SeqReader/Indexlr, see SURVEY §2.3): the
+// parser feeds base codes straight into packed buffers, and the sketcher is
+// the sequential rolling-hash formulation of the device kernel — used as a
+// differential oracle against the closed-form JAX/Pallas paths and as the
+// fast host fallback when no accelerator is attached.
+//
+// Hash contract (identical to ops/nthash_np.py): ntHash2 split rotation,
+// canonical = forward + reverse (mod 2^64), selection by canonical hash,
+// emitted value = nte(canonical, k, 1).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <string>
+
+namespace {
+
+constexpr uint64_t kSeed[4] = {0x3C8BFBB395C60474ULL, 0x3193C18562A02B4CULL,
+                               0x20323ED082572324ULL, 0x295549F54BE24456ULL};
+constexpr uint64_t kMultiSeed = 0x90B45D39FB6DA1FAULL;
+constexpr int kMultiShift = 27;
+constexpr uint8_t kInvalid = 4;
+
+inline uint64_t srol(uint64_t x) {
+  uint64_t m = ((x & 0x8000000000000000ULL) >> 30) | ((x & 0x100000000ULL) >> 32);
+  return ((x << 1) & 0xFFFFFFFDFFFFFFFFULL) | m;
+}
+
+inline uint64_t srol_n(uint64_t x, unsigned n) {
+  unsigned nl = n % 33, nh = n % 31;
+  uint64_t low = x & 0x1FFFFFFFFULL;
+  uint64_t high = x >> 33;
+  if (nl) low = ((low << nl) | (low >> (33 - nl))) & 0x1FFFFFFFFULL;
+  if (nh) high = ((high << nh) | (high >> (31 - nh))) & 0x7FFFFFFFULL;
+  return (high << 33) | low;
+}
+
+inline uint64_t nte1(uint64_t h, unsigned k) {
+  uint64_t t = h * (1ULL ^ (uint64_t)k * kMultiSeed);
+  return t ^ (t >> kMultiShift);
+}
+
+uint8_t g_code_lut[256];
+struct LutInit {
+  LutInit() {
+    memset(g_code_lut, kInvalid, sizeof(g_code_lut));
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      g_code_lut[(unsigned char)b[i]] = (uint8_t)i;
+      g_code_lut[(unsigned char)(b[i] + 32)] = (uint8_t)i;
+    }
+  }
+} g_lut_init;
+
+}  // namespace
+
+extern "C" {
+
+// Encode ASCII bases to codes in-place-ish: dst must hold n bytes.
+void nj_encode(const char* seq, int64_t n, uint8_t* dst) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = g_code_lut[(unsigned char)seq[i]];
+}
+
+// Canonical hash of every kmer start (valid flag separate).  Used by tests.
+void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
+                         uint64_t* hashes, uint8_t* valid) {
+  if (n < k) return;
+  int64_t nk = n - k + 1;
+  // O(n) rolling with both strands: maintain f and r.
+  uint64_t f = 0, r = 0;
+  bool have = false;
+  for (int64_t p = 0; p < nk; ++p) {
+    // validity of window [p, p+k)
+    bool ok = true;
+    if (p == 0) {
+      for (int j = 0; j < k; ++j)
+        if (codes[j] >= kInvalid) { ok = false; break; }
+    } else {
+      // incremental validity: recompute only when edges are invalid
+      ok = valid[p - 1] ? (codes[p + k - 1] < kInvalid)
+                        : false;
+      if (!ok && codes[p + k - 1] < kInvalid) {
+        ok = true;
+        for (int j = 0; j < k; ++j)
+          if (codes[p + j] >= kInvalid) { ok = false; break; }
+      }
+    }
+    valid[p] = ok ? 1 : 0;
+    if (!ok) { have = false; hashes[p] = 0; continue; }
+    if (!have) {
+      f = 0; r = 0;
+      for (int j = 0; j < k; ++j) {
+        f = srol(f) ^ kSeed[codes[p + j]];
+        r = srol(r) ^ kSeed[3 - codes[p + k - 1 - j]];
+      }
+      have = true;
+    } else {
+      uint8_t oc = codes[p - 1], ic = codes[p + k - 1];
+      f = srol(f) ^ srol_n(kSeed[oc], (unsigned)k) ^ kSeed[ic];
+      // reverse strand: r' = srol^{-1}(r ^ seed[rc(oc)]) ^ srol^{k-1}(seed[rc(ic)])
+      uint64_t t = r ^ kSeed[3 - oc];
+      t = srol_n(t, 33 * 31 - 1);  // srol^{-1}
+      r = t ^ srol_n(kSeed[3 - ic], (unsigned)(k - 1));
+    }
+    hashes[p] = f + r;
+  }
+}
+
+// Full minimizer sketch of one record.  Returns the number of minimizers
+// written (capped at cap); positions/hashes are parallel outputs.
+int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
+                  int64_t* positions, uint64_t* hashes, int64_t cap) {
+  if (k > n || w > n - k + 1) return 0;
+  int64_t nk = n - k + 1;
+  std::vector<uint64_t> h(nk);
+  std::vector<uint8_t> valid(nk);
+  nj_canonical_hashes(codes, n, k, h.data(), valid.data());
+  // compact valid kmers
+  std::vector<int64_t> vpos;
+  vpos.reserve(nk);
+  std::vector<uint64_t> vh;
+  vh.reserve(nk);
+  for (int64_t p = 0; p < nk; ++p)
+    if (valid[p]) { vpos.push_back(p); vh.push_back(h[p]); }
+  int64_t m = (int64_t)vh.size();
+  if (m < w) return 0;
+  // monotone deque sliding-window minimum, leftmost ties
+  std::vector<int64_t> deq(m);
+  int64_t head = 0, tail = 0;  // [head, tail)
+  int64_t count = 0;
+  int64_t last_emit = -1;
+  for (int64_t i = 0; i < m; ++i) {
+    while (tail > head && vh[deq[tail - 1]] > vh[i]) --tail;  // strict: keep leftmost on ties
+    deq[tail++] = i;
+    if (i >= w - 1) {
+      while (deq[head] <= i - w) ++head;
+      int64_t arg = deq[head];
+      if (arg != last_emit) {
+        if (count < cap) {
+          positions[count] = vpos[arg];
+          hashes[count] = nte1(vh[arg], (unsigned)k);
+        }
+        ++count;
+        last_emit = arg;
+      }
+    }
+  }
+  return count < cap ? count : cap;
+}
+
+// ---- streaming FASTA parser ------------------------------------------------
+
+struct NjFasta {
+  std::vector<std::string> names;
+  std::vector<std::string> seqs;
+};
+
+void* nj_fasta_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  NjFasta* fa = new NjFasta();
+  std::string line;
+  line.reserve(1 << 16);
+  char buf[1 << 16];
+  std::string cur;
+  bool in_rec = false;
+  while (fgets(buf, sizeof(buf), f)) {
+    size_t len = strlen(buf);
+    bool eol = len && buf[len - 1] == '\n';
+    if (eol) buf[--len] = 0;
+    if (len && buf[len - 1] == '\r') buf[--len] = 0;
+    line.append(buf, len);
+    if (!eol) continue;  // long line split across fgets calls
+    if (!line.empty() && line[0] == '>') {
+      if (in_rec) fa->seqs.push_back(cur);
+      size_t sp = line.find_first_of(" \t");
+      fa->names.push_back(line.substr(1, sp == std::string::npos ? line.size() - 1 : sp - 1));
+      cur.clear();
+      in_rec = true;
+    } else if (in_rec) {
+      cur += line;
+    }
+    line.clear();
+  }
+  if (in_rec) fa->seqs.push_back(cur);
+  fclose(f);
+  return fa;
+}
+
+int64_t nj_fasta_count(void* h) { return ((NjFasta*)h)->names.size(); }
+
+int64_t nj_fasta_len(void* h, int64_t i) { return ((NjFasta*)h)->seqs[i].size(); }
+
+int64_t nj_fasta_name(void* h, int64_t i, char* out, int64_t cap) {
+  const std::string& s = ((NjFasta*)h)->names[i];
+  int64_t n = (int64_t)s.size() < cap - 1 ? (int64_t)s.size() : cap - 1;
+  memcpy(out, s.data(), n);
+  out[n] = 0;
+  return (int64_t)s.size();
+}
+
+void nj_fasta_seq(void* h, int64_t i, char* out) {
+  const std::string& s = ((NjFasta*)h)->seqs[i];
+  memcpy(out, s.data(), s.size());
+}
+
+void nj_fasta_codes(void* h, int64_t i, uint8_t* out) {
+  const std::string& s = ((NjFasta*)h)->seqs[i];
+  nj_encode(s.data(), (int64_t)s.size(), out);
+}
+
+void nj_fasta_close(void* h) { delete (NjFasta*)h; }
+
+}  // extern "C"

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host library (``native/libntjoin_native.so``).
+
+Optional acceleration: a C++ streaming FASTA parser and the sequential
+rolling-hash sketcher (the host-native indexlr equivalent).  Everything here
+degrades gracefully — callers check :func:`available` and fall back to the
+pure-python/NumPy paths.  Build with ``make -C native`` (done automatically
+on first use if a compiler is present).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libntjoin_native.so")
+    if not os.path.exists(so):
+        src = os.path.join(_NATIVE_DIR, "ntjoin_native.cpp")
+        if os.path.exists(src):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.nj_sketch.restype = ctypes.c_int64
+    lib.nj_sketch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.nj_canonical_hashes.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.nj_fasta_open.restype = ctypes.c_void_p
+    lib.nj_fasta_open.argtypes = [ctypes.c_char_p]
+    lib.nj_fasta_count.restype = ctypes.c_int64
+    lib.nj_fasta_count.argtypes = [ctypes.c_void_p]
+    lib.nj_fasta_len.restype = ctypes.c_int64
+    lib.nj_fasta_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.nj_fasta_name.restype = ctypes.c_int64
+    lib.nj_fasta_name.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.nj_fasta_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.nj_fasta_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.nj_fasta_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def sketch_codes_native(codes: np.ndarray, k: int, w: int):
+    """Rolling-hash sketch via the C++ library (bit-identical to the oracle)."""
+    from ntjoin_tpu.ops.nthash_np import Sketch
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = codes.shape[0]
+    if k > n or w > n - k + 1:
+        return Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    cap = n - k + 2
+    pos = np.empty(cap, dtype=np.int64)
+    hashes = np.empty(cap, dtype=np.uint64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    count = lib.nj_sketch(
+        codes.ctypes.data, n, k, w, pos.ctypes.data, hashes.ctypes.data, cap
+    )
+    return Sketch(positions=pos[:count].copy(), hashes=hashes[:count].copy())
+
+
+def read_fasta_native(path: str):
+    """Parse FASTA via the C++ reader; returns list of FastaRecord."""
+    from ntjoin_tpu.io.fasta import FastaRecord
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    h = lib.nj_fasta_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        out = []
+        name_buf = ctypes.create_string_buffer(4096)
+        for i in range(lib.nj_fasta_count(h)):
+            lib.nj_fasta_name(h, i, name_buf, 4096)
+            n = lib.nj_fasta_len(h, i)
+            seq = ctypes.create_string_buffer(n)
+            lib.nj_fasta_seq(h, i, seq)
+            out.append(FastaRecord(name_buf.value.decode(), seq.raw.decode("ascii")))
+        return out
+    finally:
+        lib.nj_fasta_close(h)

@@ -73,9 +73,13 @@ def encode(seq: str | bytes) -> np.ndarray:
 
 
 def _srol_var(x: np.ndarray, n: np.ndarray) -> np.ndarray:
-    """Elementwise srol^n(x) for uint64 x and per-element exponents n >= 0."""
-    n_low = (n % ROT_LOW_BITS).astype(_U64)
-    n_high = (n % ROT_HIGH_BITS).astype(_U64)
+    """Elementwise srol^n(x) for uint64 x and per-element exponents n >= 0.
+
+    n must already be uint64: numpy's signed modulo is ~30x slower than the
+    unsigned one, so all exponent arithmetic stays unsigned.
+    """
+    n_low = n % _U64(ROT_LOW_BITS)
+    n_high = n % _U64(ROT_HIGH_BITS)
     low = x & _MASK_LOW
     high = x >> _U64(ROT_LOW_BITS)
     low = ((low << n_low) | (low >> (_U64(ROT_LOW_BITS) - n_low))) & _MASK_LOW
@@ -102,23 +106,30 @@ def canonical_hashes(
     n = codes.shape[0]
     if n < k:
         return np.empty(0, dtype=_U64), np.empty(0, dtype=bool)
-    idx = np.arange(n, dtype=np.int64)
-    exp_fwd = (-idx) % SROL_PERIOD
-    exp_rev = idx % SROL_PERIOD
+    # unsigned exponent arithmetic throughout (signed % is very slow)
+    period = _U64(SROL_PERIOD)
+    idx_u = np.arange(n, dtype=_U64)
+    exp_rev = idx_u % period
+    exp_fwd = (period - exp_rev) % period
 
-    codes_i = codes.astype(np.int64)
+    codes_i = codes.astype(np.intp)
     rc = np.where(codes_i < 4, 3 - codes_i, 4)
-    s_fwd = _SROL_SEED[exp_fwd, codes_i]
-    s_rev = _SROL_SEED[exp_rev, rc]
+    flat = _SROL_SEED.ravel()
+    s_fwd = flat[exp_fwd.astype(np.intp) * 5 + codes_i]
+    s_rev = flat[exp_rev.astype(np.intp) * 5 + rc]
 
     p = np.zeros(n + 1, dtype=_U64)
     np.bitwise_xor.accumulate(s_fwd, out=p[1:])
     q = np.zeros(n + 1, dtype=_U64)
     np.bitwise_xor.accumulate(s_rev, out=q[1:])
 
-    starts = np.arange(n - k + 1, dtype=np.int64)
-    fwd = _srol_var(p[starts + k] ^ p[starts], (starts + k - 1) % SROL_PERIOD)
-    rev = _srol_var(q[starts + k] ^ q[starts], (-starts) % SROL_PERIOD)
+    nk = n - k + 1
+    starts = np.arange(nk, dtype=np.int64)
+    starts_u = np.arange(nk, dtype=_U64)
+    e_fwd = (starts_u + _U64(k - 1)) % period
+    e_rev = (period - (starts_u % period)) % period
+    fwd = _srol_var(p[starts + k] ^ p[starts], e_fwd)
+    rev = _srol_var(q[starts + k] ^ q[starts], e_rev)
     canon = fwd + rev if canonical == "add" else np.minimum(fwd, rev)
 
     bad = np.zeros(n + 1, dtype=np.int64)
@@ -164,11 +175,13 @@ def _window_lexmin(h: np.ndarray, w: int) -> np.ndarray:
     upd_r = hr == suf_min_r
     suf_arg_r = np.maximum.accumulate(np.where(upd_r, col, -1), axis=1)
 
-    i = np.arange(nw, dtype=np.int64)
-    b_lo = i // w
-    j_lo = i - b_lo * w
-    b_hi = (i + w - 1) // w
-    j_hi = (i + w - 1) - b_hi * w
+    i_u = np.arange(nw, dtype=_U64)
+    w_u = _U64(w)
+    b_lo = (i_u // w_u).astype(np.int64)
+    j_lo = np.arange(nw, dtype=np.int64) - b_lo * w
+    hi_u = i_u + _U64(w - 1)
+    b_hi = (hi_u // w_u).astype(np.int64)
+    j_hi = hi_u.astype(np.int64) - b_hi * w
 
     suf_val = suf_min_r[b_lo, w - 1 - j_lo]
     suf_pos = b_lo * w + (w - 1 - suf_arg_r[b_lo, w - 1 - j_lo])

@@ -55,15 +55,21 @@ def _sketch_padded(codes: jax.Array, n_real: jax.Array, k: int, w: int):
     """
     n = codes.shape[0]
     nk = n - k + 1  # padded kmer count
-    idx = np.arange(n, dtype=np.int64)
+    # all index/exponent vectors are generated on device (iota + unsigned
+    # div/mod) — numpy constants here would embed O(n) literals in the HLO
+    # and blow up compile time and host->device transfer
+    period = _U32(SROL_PERIOD)
+    # optimization_barrier: keep XLA from constant-folding the O(n) iota
+    # chains at compile time (the HLO evaluator makes that O(n) *compile*)
+    idx = jax.lax.optimization_barrier(jax.lax.iota(_U32, n))
 
     codes = jnp.asarray(codes, _I32)
     rc = jnp.where(codes < 4, 3 - codes, CODE_INVALID)
 
     tab_lo = jnp.asarray(_TAB_LO)
     tab_hi = jnp.asarray(_TAB_HI)
-    exp_f = jnp.asarray((-idx) % SROL_PERIOD, _I32)
-    exp_r = jnp.asarray(idx % SROL_PERIOD, _I32)
+    exp_r = (idx % period).astype(_I32)
+    exp_f = ((period - idx % period) % period).astype(_I32)
     s_f = (tab_lo[exp_f, codes], tab_hi[exp_f, codes])
     s_r = (tab_lo[exp_r, rc], tab_hi[exp_r, rc])
 
@@ -73,24 +79,26 @@ def _sketch_padded(codes: jax.Array, n_real: jax.Array, k: int, w: int):
     q_lo = jax.lax.associative_scan(jnp.bitwise_xor, s_r[0])
     q_hi = jax.lax.associative_scan(jnp.bitwise_xor, s_r[1])
 
-    starts = np.arange(nk, dtype=np.int64)
+    starts = jax.lax.optimization_barrier(jax.lax.iota(_I32, nk))
 
     def span(acc_lo, acc_hi):
-        hi_idx = jnp.asarray(starts + k - 1, _I32)
-        end_lo, end_hi = acc_lo[hi_idx], acc_hi[hi_idx]
-        before_lo = jnp.where(starts > 0, acc_lo[jnp.asarray(starts - 1, _I32)], 0)
-        before_hi = jnp.where(starts > 0, acc_hi[jnp.asarray(starts - 1, _I32)], 0)
+        end_lo, end_hi = acc_lo[starts + (k - 1)], acc_hi[starts + (k - 1)]
+        before_lo = jnp.where(starts > 0, acc_lo[starts - 1], 0)
+        before_hi = jnp.where(starts > 0, acc_hi[starts - 1], 0)
         return (end_lo ^ before_lo.astype(_U32), end_hi ^ before_hi.astype(_U32))
 
-    fwd = u64.srol_var(span(p_lo, p_hi), jnp.asarray((starts + k - 1) % SROL_PERIOD, _U32))
-    rev = u64.srol_var(span(q_lo, q_hi), jnp.asarray((-starts) % SROL_PERIOD, _U32))
+    starts_u = jax.lax.optimization_barrier(jax.lax.iota(_U32, nk))
+    e_fwd = (starts_u + _U32(k - 1)) % period
+    e_rev = (period - starts_u % period) % period
+    fwd = u64.srol_var(span(p_lo, p_hi), e_fwd)
+    rev = u64.srol_var(span(q_lo, q_hi), e_rev)
     canon = u64.add(fwd, rev)
 
     # validity: no invalid base inside [p, p+k)
     bad = jnp.cumsum((codes >= CODE_INVALID).astype(_I32))
-    bad_before = jnp.where(starts > 0, bad[jnp.asarray(starts - 1, _I32)], 0)
-    valid = (bad[jnp.asarray(starts + k - 1, _I32)] - bad_before) == 0
-    valid &= jnp.asarray(starts, _I32) < (n_real - (k - 1))
+    bad_before = jnp.where(starts > 0, bad[starts - 1], 0)
+    valid = (bad[starts + (k - 1)] - bad_before) == 0
+    valid &= starts < (n_real - (k - 1))
 
     # compact valid kmers to the front, preserving order
     order = jnp.argsort(jnp.logical_not(valid), stable=True).astype(_I32)
@@ -107,7 +115,8 @@ def _sketch_padded(codes: jax.Array, n_real: jax.Array, k: int, w: int):
     key_lo = jnp.pad(vh[0], (0, pad), constant_values=np.uint32(0xFFFFFFFF)).reshape(nb, w)
     key_hi = jnp.pad(vh[1], (0, pad), constant_values=np.uint32(0xFFFFFFFF)).reshape(nb, w)
     key_ix = jnp.pad(
-        jnp.arange(nk, dtype=_I32), (0, pad), constant_values=nk
+        jax.lax.optimization_barrier(jax.lax.iota(_I32, nk)), (0, pad),
+        constant_values=nk,
     ).reshape(nb, w)
 
     pre = jax.lax.associative_scan(_lexmin, ((key_lo, key_hi), key_ix), axis=1)
@@ -116,10 +125,11 @@ def _sketch_padded(codes: jax.Array, n_real: jax.Array, k: int, w: int):
     )
 
     nw = nk - w + 1
-    i = np.arange(nw, dtype=np.int64)
-    b_lo, j_lo = jnp.asarray(i // w, _I32), jnp.asarray(i % w, _I32)
-    hi_flat = i + w - 1
-    b_hi, j_hi = jnp.asarray(hi_flat // w, _I32), jnp.asarray(hi_flat % w, _I32)
+    i_u = jax.lax.optimization_barrier(jax.lax.iota(_U32, nw))
+    w_u = _U32(w)
+    b_lo, j_lo = (i_u // w_u).astype(_I32), (i_u % w_u).astype(_I32)
+    hi_u = i_u + _U32(w - 1)
+    b_hi, j_hi = (hi_u // w_u).astype(_I32), (hi_u % w_u).astype(_I32)
 
     suf_part = ((suf[0][0][b_lo, j_lo], suf[0][1][b_lo, j_lo]), suf[1][b_lo, j_lo])
     pre_part = ((pre[0][0][b_hi, j_hi], pre[0][1][b_hi, j_hi]), pre[1][b_hi, j_hi])

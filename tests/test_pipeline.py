@@ -44,8 +44,11 @@ def workdir(tmp_path):
 
 
 def launch(workdir, prefix, *args):
-    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B", *args]
-    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    # backend=numpy: the oracle sketch; jax/pallas bit-parity is covered by
+    # the dedicated parity suites, no need to pay device compiles per test.
+    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+           "backend=numpy", *args]
+    env = dict(os.environ, PYTHONPATH=REPO)
     res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True)
     assert res.returncode == 0, res.stderr + res.stdout
     paths = []
