@@ -1,0 +1,410 @@
+"""Pallas TPU kernels for the minimizer sketch — the flagship compute path.
+
+Design (TPU-first, constant compile time via grids; see pallas guide):
+
+* **Lane-chunked rolling hash.**  The sequence is cut into 1024 chunks laid
+  out as the (8, 128) VPU tile; each lane owns one chunk and advances the
+  ntHash2 recurrence sequentially down the rows while all 1024 lanes run in
+  parallel.  The k-term "outgoing" correction uses a k-row ring buffer in
+  VMEM scratch; invalid (non-ACGT) bases carry seed 0 so the rolling state
+  stays consistent through N runs, and a per-lane ``last_bad`` row tracks
+  k-mer validity.  Grid steps stream row blocks HBM->VMEM with the carry
+  (hash state, ring buffer) persisting in scratch across the sequential
+  grid.
+
+* **Van Herk / Gil-Werman sliding-window argmin.**  Per lane, window minima
+  over w consecutive rows cost ~3 lexicographic compares per element: blocks
+  of w rows get a backward suffix scan stored in ping-pong scratch, and the
+  next grid step emits windows by combining the stored suffix with a running
+  forward prefix.  Ordering is (hash, position) lexicographic so ties pick
+  the leftmost position, exactly like btllib's scan.
+
+Chunks overlap by (w + k - 2) rows so every window is computed exactly at
+seams (the same halo algebra as the mesh sharding).  Emission dedupe and the
+nte1 output transform stay on host.  Bit-parity with the NumPy oracle is
+enforced by ``tests/test_sketch_pallas.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntjoin_tpu.constants import CODE_INVALID, SEEDS, srol_n
+from ntjoin_tpu.ops import u64
+from ntjoin_tpu.ops.nthash_np import Sketch, derive_hash
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_MAXU = np.uint32(0xFFFFFFFF)
+
+_SUB = 8  # sublanes per row tile
+_LANE = 128
+_CHUNKS = _SUB * _LANE  # 1024 lanes = chunks
+
+_ROW_BLOCK = 256  # rows per grid step in the hash kernel (VMEM budget with double buffering)
+
+
+def _split64(v: int) -> tuple[np.uint32, np.uint32]:
+    return np.uint32(v & 0xFFFFFFFF), np.uint32((v >> 32) & 0xFFFFFFFF)
+
+
+def _tables(k: int):
+    """The four 4-entry constant tables the recurrences select from."""
+    seed_in = [_split64(SEEDS[c]) for c in range(4)]
+    seed_out = [_split64(srol_n(SEEDS[c], k)) for c in range(4)]
+    seed_rc_out = [_split64(SEEDS[3 - c]) for c in range(4)]
+    seed_rc_in = [_split64(srol_n(SEEDS[3 - c], k - 1)) for c in range(4)]
+    return seed_in, seed_out, seed_rc_out, seed_rc_in
+
+
+def _sel(code, tab):
+    """4-way constant select by base code; invalid codes map to 0."""
+    zero = _U32(0)
+    lo = jnp.where(
+        code == 0, tab[0][0],
+        jnp.where(code == 1, tab[1][0],
+                  jnp.where(code == 2, tab[2][0],
+                            jnp.where(code == 3, tab[3][0], zero))),
+    )
+    hi = jnp.where(
+        code == 0, tab[0][1],
+        jnp.where(code == 1, tab[1][1],
+                  jnp.where(code == 2, tab[2][1],
+                            jnp.where(code == 3, tab[3][1], zero))),
+    )
+    return lo, hi
+
+
+def _hash_kernel(k, x_ref, lo_ref, hi_ref, val_ref,
+                 fwd_lo, fwd_hi, rev_lo, rev_hi, hist, last_bad):
+    t_in, t_out, t_rc_out, t_rc_in = _tables(k)
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        zeros = jnp.zeros(fwd_lo.shape, _U32)
+        fwd_lo[...] = zeros
+        fwd_hi[...] = zeros
+        rev_lo[...] = zeros
+        rev_hi[...] = zeros
+        hist[...] = jnp.full(hist.shape, CODE_INVALID, _I32)
+        last_bad[...] = jnp.full(last_bad.shape, -1, _I32)
+
+    rb = x_ref.shape[0]
+
+    def body(t, _):
+        i = g * rb + t  # global row index
+        row = x_ref[t]  # (SUB, LANE) int32
+        out_c = hist[i % k]
+        hist[i % k] = row
+
+        f = (fwd_lo[0], fwd_hi[0])
+        r = (rev_lo[0], rev_hi[0])
+        # fwd_i = srol(fwd) ^ srol^k(seed[out]) ^ seed[in]
+        f = u64.srol_const(f, 1)
+        f = u64.xor(f, _sel(out_c, t_out))
+        f = u64.xor(f, _sel(row, t_in))
+        # rev_i = srol^{-1}(rev ^ seed[rc(out)]) ^ srol^{k-1}(seed[rc(in)])
+        r = u64.xor(r, _sel(out_c, t_rc_out))
+        r = u64.srol_const(r, 33 * 31 - 1)
+        r = u64.xor(r, _sel(row, t_rc_in))
+        fwd_lo[0], fwd_hi[0] = f
+        rev_lo[0], rev_hi[0] = r
+
+        bad = row >= CODE_INVALID
+        lb = jnp.where(bad, i, last_bad[0])
+        last_bad[0] = lb
+
+        canon = u64.add(f, r)
+        lo_ref[t] = canon[0]
+        hi_ref[t] = canon[1]
+        val_ref[t] = ((i - lb) >= k).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, rb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _hash_chunked(x, k: int, interpret: bool = False):
+    """x: (rows, SUB, LANE) int32 codes -> (lo, hi, valid) same shape.
+
+    Row r of output = canonical hash of the k-mer *ending* at row r (valid
+    from row k-1 on); callers shift by k-1 to get start-indexed hashes.
+    """
+    rows = x.shape[0]
+    grid = rows // _ROW_BLOCK
+    spec = pl.BlockSpec(
+        (_ROW_BLOCK, _SUB, _LANE), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_hash_kernel, k),
+        grid=(grid,),
+        in_specs=[spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _SUB, _LANE), _U32),
+            jax.ShapeDtypeStruct((rows, _SUB, _LANE), _U32),
+            jax.ShapeDtypeStruct((rows, _SUB, _LANE), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, _SUB, _LANE), _U32),  # fwd lo
+            pltpu.VMEM((1, _SUB, _LANE), _U32),  # fwd hi
+            pltpu.VMEM((1, _SUB, _LANE), _U32),  # rev lo
+            pltpu.VMEM((1, _SUB, _LANE), _U32),  # rev hi
+            pltpu.VMEM((k, _SUB, _LANE), _I32),  # code ring buffer
+            pltpu.VMEM((1, _SUB, _LANE), _I32),  # last invalid row
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x)
+
+
+# -- windowed argmin ---------------------------------------------------------
+
+
+def _lexmin3(a, b):
+    a_lo, a_hi, a_ix = a
+    b_lo, b_hi, b_ix = b
+    a_sm = u64.less((a_lo, a_hi), (b_lo, b_hi)) | (
+        (a_lo == b_lo) & (a_hi == b_hi) & (a_ix <= b_ix)
+    )
+    return (
+        jnp.where(a_sm, a_lo, b_lo),
+        jnp.where(a_sm, a_hi, b_hi),
+        jnp.where(a_sm, a_ix, b_ix),
+    )
+
+
+def _window_kernel(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
+                   s_lo, s_hi, s_ix):
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    prev = ((b + 1) % 2) * w  # ping-pong scratch row offsets
+    cur = (b % 2) * w
+    maxu = jnp.full((1, _LANE), _MAXU, _U32)
+    maxi = jnp.full((1, _LANE), np.int32(2**31 - 1), _I32)
+    # stream index of row t in this block: chunk_of_lane * L + (b*w + t);
+    # monotone per lane, so (hash, ix) lex order = leftmost-in-stream ties
+    chunk = g * _LANE + jax.lax.broadcasted_iota(_I32, (1, _LANE), 1)
+    ix_base = chunk * l_ref[0] + b * w
+
+    def row(ref, t):
+        return ref[0, pl.ds(t, 1), :]
+
+    def srow(ref, off, t):
+        return ref[pl.ds(off + t, 1), :]
+
+    # forward: emit windows of block b-1 combining stored suffix with the
+    # running prefix over this block's first t rows
+    def fwd(t, p):
+        @pl.when(b > 0)
+        def _():
+            res = _lexmin3(
+                (srow(s_lo, prev, t), srow(s_hi, prev, t), srow(s_ix, prev, t)), p
+            )
+            out_lo[0, pl.ds(t, 1), :] = res[0]
+            out_hi[0, pl.ds(t, 1), :] = res[1]
+            out_ix[0, pl.ds(t, 1), :] = res[2]
+
+        return _lexmin3(p, (row(lo_ref, t), row(hi_ref, t), ix_base + t))
+
+    jax.lax.fori_loop(0, w, fwd, (maxu, maxu, maxi))
+
+    # backward: fill this block's suffix scan
+    def bwd(j, s):
+        t = w - 1 - j
+        s = _lexmin3(s, (row(lo_ref, t), row(hi_ref, t), ix_base + t))
+        s_lo[pl.ds(cur + t, 1), :] = s[0]
+        s_hi[pl.ds(cur + t, 1), :] = s[1]
+        s_ix[pl.ds(cur + t, 1), :] = s[2]
+        return s
+
+    jax.lax.fori_loop(0, w, bwd, (maxu, maxu, maxi))
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
+    """Per-window (length w, along rows) lexicographic argmin, per lane.
+
+    Inputs (GROUPS, rows, LANE) group-major; rows must be a multiple of w
+    with one final all-max block so the last real windows flush.  Output row
+    t of block b is the argmin of the window starting at row b*w + t; the
+    emitted index is the global stream index chunk*L + row.
+    """
+    groups, rows, _ = lo.shape
+    nb = rows // w
+
+    in_spec = pl.BlockSpec(
+        (1, w, _LANE), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, w, _LANE),
+        lambda g, b: (g, jnp.maximum(b, 1) - 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_window_kernel, w),
+        grid=(groups, nb),
+        in_specs=[scalar_spec, in_spec, in_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _U32),
+            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _U32),
+            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w, _LANE), _U32),
+            pltpu.VMEM((2 * w, _LANE), _U32),
+            pltpu.VMEM((2 * w, _LANE), _I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(l_per_chunk, lo, hi)
+
+
+# -- host orchestration ------------------------------------------------------
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def sketch_codes_pallas(
+    codes: np.ndarray, k: int, w: int, interpret: bool = False
+) -> Sketch:
+    """Minimizer sketch via the Pallas kernels (bit-identical to the oracle).
+
+    Handles N runs by compacting valid k-mers on host between the two
+    kernels (zero-cost for N-free sequences).  Small inputs fall back to the
+    oracle — the chunked layout needs enough rows per lane to amortise its
+    (w + k - 2)-row halo.
+    """
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+
+    n = int(codes.shape[0])
+    if k > n or w > n - k + 1:
+        return Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    nk = n - k + 1
+    halo = w + k - 2
+    L = -(-nk // _CHUNKS)  # positions owned per chunk
+    if L < 4 * halo and not interpret:
+        return sketch_codes(codes, k, w)
+
+    # chunk layout: rows = codes for L owned positions + halo (one strided
+    # transpose, no python loop)
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    padded = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int32)
+    padded[:n] = codes
+    view = np.lib.stride_tricks.sliding_window_view(padded, code_rows)[:: L if L else 1]
+    x = np.ascontiguousarray(view[:_CHUNKS].T).reshape(code_rows, _SUB, _LANE)
+
+    h_lo, h_hi, val = _hash_chunked(jnp.asarray(x), k, interpret=interpret)
+    h_lo = np.asarray(h_lo).reshape(code_rows, _CHUNKS)
+    h_hi = np.asarray(h_hi).reshape(code_rows, _CHUNKS)
+    val = np.asarray(val).reshape(code_rows, _CHUNKS).astype(bool)
+
+    # shift: row r holds the kmer ending at r -> start index r-k+1
+    h_lo = h_lo[k - 1 :]
+    h_hi = h_hi[k - 1 :]
+    val = val[k - 1 :]
+    hash_rows = L + w - 1  # starts each chunk needs (owned + window halo)
+
+    # build the valid-kmer stream per chunk (positions ascending)
+    all_valid = val[:hash_rows].all()
+    nb = -(-hash_rows // w) + 1
+    rows_p = nb * w
+    s_lo = np.full((rows_p, _CHUNKS), 0xFFFFFFFF, dtype=np.uint32)
+    s_hi = np.full((rows_p, _CHUNKS), 0xFFFFFFFF, dtype=np.uint32)
+    if all_valid:
+        s_lo[:hash_rows] = h_lo[:hash_rows]
+        s_hi[:hash_rows] = h_hi[:hash_rows]
+        base = np.arange(hash_rows, dtype=np.int64)[:, None] + (
+            np.arange(_CHUNKS, dtype=np.int64)[None, :] * L
+        )
+        oob = base >= nk
+        s_lo[:hash_rows][oob] = 0xFFFFFFFF
+        s_hi[:hash_rows][oob] = 0xFFFFFFFF
+        stream_count = nk
+    else:
+        # global compaction: windows slide over valid kmers only
+        gpos, glo, ghi = _compact_valid(h_lo, h_hi, val, L, nk)
+        stream_count = gpos.shape[0]
+        if stream_count < w:
+            return Sketch(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+            )
+        L2 = -(-stream_count // _CHUNKS)
+        need = L2 + w - 1
+        nb = -(-need // w) + 1
+        rows_p = nb * w
+        s_lo = _rechunk(glo, L2, need, rows_p, np.uint32(0xFFFFFFFF))
+        s_hi = _rechunk(ghi, L2, need, rows_p, np.uint32(0xFFFFFFFF))
+        L = L2
+
+    # group-major (GROUPS, rows, LANE) layout for the window kernel
+    gm_lo = np.ascontiguousarray(s_lo.reshape(rows_p, _SUB, _LANE).transpose(1, 0, 2))
+    gm_hi = np.ascontiguousarray(s_hi.reshape(rows_p, _SUB, _LANE).transpose(1, 0, 2))
+    w_lo, w_hi, w_ix = _window_chunked(
+        jnp.asarray(gm_lo),
+        jnp.asarray(gm_hi),
+        jnp.asarray(np.array([L], dtype=np.int32)),
+        w,
+        interpret=interpret,
+    )
+    # back to (rows, CHUNKS): chunk c = sublane*LANE + lane
+    w_lo = np.asarray(w_lo)
+    w_hi = np.asarray(w_hi)
+    w_ix = np.asarray(w_ix)
+
+    # stitch chunks into global window order and dedupe emissions; the
+    # kernel already emits global stream indices
+    nw = stream_count - w + 1
+    arg = np.ascontiguousarray(w_ix[:, :L].transpose(0, 2, 1)).reshape(
+        _CHUNKS, -1
+    ).ravel()[:nw].astype(np.int64)
+    alo = np.ascontiguousarray(w_lo[:, :L].transpose(0, 2, 1)).reshape(
+        _CHUNKS, -1
+    ).ravel()[:nw]
+    ahi = np.ascontiguousarray(w_hi[:, :L].transpose(0, 2, 1)).reshape(
+        _CHUNKS, -1
+    ).ravel()[:nw]
+    keep = np.empty(nw, dtype=bool)
+    keep[0] = True
+    keep[1:] = arg[1:] != arg[:-1]
+    sel = np.flatnonzero(keep)
+    canon = alo[sel].astype(np.uint64) | (ahi[sel].astype(np.uint64) << np.uint64(32))
+    stream_idx = arg[sel]
+    if all_valid:
+        positions = stream_idx
+    else:
+        positions = gpos[stream_idx]
+    return Sketch(positions=positions.astype(np.int64), hashes=derive_hash(canon, k))
+
+
+def _rechunk(stream, L2, need, rows_p, fill):
+    """Re-lay a 1-D stream into overlapping per-chunk columns (strided)."""
+    out_len = _CHUNKS * L2 + rows_p
+    padded = np.full(out_len, fill, dtype=stream.dtype)
+    padded[: stream.shape[0]] = stream
+    view = np.lib.stride_tricks.sliding_window_view(padded, rows_p)[:: L2 if L2 else 1]
+    return np.ascontiguousarray(view[:_CHUNKS].T)
+
+
+def _compact_valid(h_lo, h_hi, val, L, nk):
+    """Flatten the chunked hash arrays back to the global valid-kmer stream."""
+    glo = np.ascontiguousarray(h_lo[:L].T).ravel()[:nk]
+    ghi = np.ascontiguousarray(h_hi[:L].T).ravel()[:nk]
+    gval = np.ascontiguousarray(val[:L].T).ravel()[:nk]
+    gpos = np.flatnonzero(gval)
+    return gpos, glo[gpos], ghi[gpos]

@@ -1,0 +1,33 @@
+"""Parity: Pallas kernels (interpret mode on CPU) vs the NumPy oracle."""
+import numpy as np
+import pytest
+
+from ntjoin_tpu.ops.nthash_np import sketch_codes
+from ntjoin_tpu.ops.sketch_pallas import sketch_codes_pallas
+
+
+def _assert_same(codes, k, w):
+    ref = sketch_codes(codes, k, w)
+    got = sketch_codes_pallas(codes, k, w, interpret=True)
+    assert got.positions.tolist() == ref.positions.tolist()
+    assert got.hashes.tolist() == ref.hashes.tolist()
+
+
+@pytest.mark.parametrize("seed,k,w", [(0, 15, 10), (1, 32, 25), (2, 21, 40)])
+def test_random_parity(seed, k, w):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    _assert_same(codes, k, w)
+
+
+def test_parity_with_ns():
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    for start, length in [(500, 3), (10_000, 200), (30_000, 17), (59_990, 10)]:
+        codes[start : start + length] = 4
+    _assert_same(codes, 15, 10)
+
+
+def test_repeat_tiebreaks():
+    codes = np.tile(np.array([0, 1, 2, 3], dtype=np.uint8), 12_000)
+    _assert_same(codes, 8, 16)
