@@ -41,6 +41,14 @@ inline uint64_t srol_n(uint64_t x, unsigned n) {
   return (high << 33) | low;
 }
 
+inline uint64_t sror1(uint64_t x) {  // srol^{-1}: both groups rotate right 1
+  uint64_t low = x & 0x1FFFFFFFFULL;
+  uint64_t high = x >> 33;
+  low = (low >> 1) | ((low & 1ULL) << 32);
+  high = (high >> 1) | ((high & 1ULL) << 30);
+  return (high << 33) | low;
+}
+
 inline uint64_t nte1(uint64_t h, unsigned k) {
   uint64_t t = h * (1ULL ^ (uint64_t)k * kMultiSeed);
   return t ^ (t >> kMultiShift);
@@ -73,6 +81,11 @@ void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
   if (n < k) return;
   int64_t nk = n - k + 1;
   // O(n) rolling with both strands: maintain f and r.
+  uint64_t tab_out[4], tab_rc_in[4];
+  for (int c = 0; c < 4; ++c) {
+    tab_out[c] = srol_n(kSeed[c], (unsigned)k);
+    tab_rc_in[c] = srol_n(kSeed[3 - c], (unsigned)(k - 1));
+  }
   uint64_t f = 0, r = 0;
   bool have = false;
   for (int64_t p = 0; p < nk; ++p) {
@@ -102,54 +115,81 @@ void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
       have = true;
     } else {
       uint8_t oc = codes[p - 1], ic = codes[p + k - 1];
-      f = srol(f) ^ srol_n(kSeed[oc], (unsigned)k) ^ kSeed[ic];
+      f = srol(f) ^ tab_out[oc] ^ kSeed[ic];
       // reverse strand: r' = srol^{-1}(r ^ seed[rc(oc)]) ^ srol^{k-1}(seed[rc(ic)])
-      uint64_t t = r ^ kSeed[3 - oc];
-      t = srol_n(t, 33 * 31 - 1);  // srol^{-1}
-      r = t ^ srol_n(kSeed[3 - ic], (unsigned)(k - 1));
+      r = sror1(r ^ kSeed[3 - oc]) ^ tab_rc_in[ic];
     }
     hashes[p] = f + r;
   }
 }
 
-// Full minimizer sketch of one record.  Returns the number of minimizers
-// written (capped at cap); positions/hashes are parallel outputs.
+// Full minimizer sketch of one record: fused single pass (rolling hash +
+// monotone-deque window minimum), O(w) extra memory.  Returns the number of
+// minimizers written (capped at cap); positions/hashes are parallel outputs.
 int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
                   int64_t* positions, uint64_t* hashes, int64_t cap) {
   if (k > n || w > n - k + 1) return 0;
   int64_t nk = n - k + 1;
-  std::vector<uint64_t> h(nk);
-  std::vector<uint8_t> valid(nk);
-  nj_canonical_hashes(codes, n, k, h.data(), valid.data());
-  // compact valid kmers
-  std::vector<int64_t> vpos;
-  vpos.reserve(nk);
-  std::vector<uint64_t> vh;
-  vh.reserve(nk);
-  for (int64_t p = 0; p < nk; ++p)
-    if (valid[p]) { vpos.push_back(p); vh.push_back(h[p]); }
-  int64_t m = (int64_t)vh.size();
-  if (m < w) return 0;
-  // monotone deque sliding-window minimum, leftmost ties
-  std::vector<int64_t> deq(m);
-  int64_t head = 0, tail = 0;  // [head, tail)
-  int64_t count = 0;
-  int64_t last_emit = -1;
-  for (int64_t i = 0; i < m; ++i) {
-    while (tail > head && vh[deq[tail - 1]] > vh[i]) --tail;  // strict: keep leftmost on ties
-    deq[tail++] = i;
-    if (i >= w - 1) {
-      while (deq[head] <= i - w) ++head;
-      int64_t arg = deq[head];
-      if (arg != last_emit) {
-        if (count < cap) {
-          positions[count] = vpos[arg];
-          hashes[count] = nte1(vh[arg], (unsigned)k);
+  uint64_t tab_out[4], tab_rc_in[4];
+  for (int c = 0; c < 4; ++c) {
+    tab_out[c] = srol_n(kSeed[c], (unsigned)k);
+    tab_rc_in[c] = srol_n(kSeed[3 - c], (unsigned)(k - 1));
+  }
+  // deque slots over the last <= w valid kmers
+  struct Slot { uint64_t hash; int64_t pos; int64_t sidx; };
+  int64_t dsz = 1;
+  while (dsz < w + 1) dsz <<= 1;  // power-of-two ring: mask instead of div
+  const int64_t dmask = dsz - 1;
+  std::vector<Slot> deq((size_t)dsz);
+  int64_t head = 0, tail = 0;  // indices into deq (mod size)
+  uint64_t f = 0, r = 0;
+  bool have = false;
+  int64_t stream_i = 0;  // count of valid kmers so far
+  int64_t count = 0, last_emit = -1;
+  for (int64_t p = 0; p < nk; ++p) {
+    uint8_t ic = codes[p + k - 1];
+    bool ok;
+    if (!have) {
+      ok = true;
+      for (int j = 0; j < k; ++j)
+        if (codes[p + j] >= kInvalid) { ok = false; break; }
+      if (ok) {
+        f = 0; r = 0;
+        for (int j = 0; j < k; ++j) {
+          f = srol(f) ^ kSeed[codes[p + j]];
+          r = srol(r) ^ kSeed[3 - codes[p + k - 1 - j]];
         }
-        ++count;
-        last_emit = arg;
+        have = true;
+      }
+    } else {
+      ok = ic < kInvalid;
+      if (ok) {
+        uint8_t oc = codes[p - 1];
+        f = srol(f) ^ tab_out[oc] ^ kSeed[ic];
+        r = sror1(r ^ kSeed[3 - oc]) ^ tab_rc_in[ic];
+      } else {
+        have = false;
       }
     }
+    if (!ok) continue;
+    uint64_t hv = f + r;
+    // monotone deque: strict pop keeps the leftmost of equal hashes ahead
+    while (tail > head && deq[(tail - 1) & dmask].hash > hv) --tail;
+    deq[tail & dmask] = {hv, p, stream_i};
+    ++tail;
+    if (stream_i >= w - 1) {
+      while (deq[head & dmask].sidx <= stream_i - w) ++head;
+      const Slot& s = deq[head & dmask];
+      if (s.sidx != last_emit) {
+        if (count < cap) {
+          positions[count] = s.pos;
+          hashes[count] = nte1(s.hash, (unsigned)k);
+        }
+        ++count;
+        last_emit = s.sidx;
+      }
+    }
+    ++stream_i;
   }
   return count < cap ? count : cap;
 }

@@ -273,11 +273,109 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
     )(l_per_chunk, lo, hi)
 
 
-# -- host orchestration ------------------------------------------------------
+# -- fused device pipeline ---------------------------------------------------
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap"))
+def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int):
+    """Whole sketch on device: layout -> hash -> window -> compacted result.
+
+    Device-resident end to end; the only host transfers are the int8 code
+    upload and the cap-bounded compacted outputs.  Exact when every k-mer is
+    valid (the returned ``ok`` flag is False otherwise and callers fall back
+    to the compacting host path).
+
+    codes_padded: int8[CHUNKS*L + code_rows] with CODE_INVALID padding.
+    Returns (pos, lo, hi, count, ok): emissions in global window order with
+    chunk-seam duplicates still present (host drops consecutive equal
+    positions).
+    """
+    nk = n - k + 1
+    halo = w + k - 2
+    L = -(-nk // _CHUNKS)
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    hash_rows = L + w - 1
+    nb = -(-hash_rows // w) + 1
+    rows_p = nb * w
+    nw = nk - w + 1
+
+    codes = codes_padded.astype(_I32)
+    base = codes[: _CHUNKS * L].reshape(_CHUNKS, L).T  # (L, CHUNKS)
+    tail = codes[_CHUNKS * L : _CHUNKS * L + halo][:, None]
+    halo_block = jnp.concatenate([base[:halo, 1:], tail], axis=1)
+    x = jnp.concatenate([base, halo_block], axis=0)
+    x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
+    x = x.reshape(code_rows, _SUB, _LANE)
+
+    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, k)
+
+    # start-indexed hash rows for the window stage
+    h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
+    h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows)
+    val = jax.lax.slice_in_dim(val, k - 1, k - 1 + hash_rows)
+
+    row_iota = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 0)
+    )
+    chunk_iota = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 1) * _LANE
+        + jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 2)
+    )
+    gpos = chunk_iota * L + row_iota
+    oob = gpos >= nk
+    in_range = ~oob
+    ok = jnp.all((val == 1) | oob)
+
+    mask = jnp.where(in_range, _U32(0), _U32(0xFFFFFFFF))
+    h_lo = h_lo | mask
+    h_hi = h_hi | mask
+
+    pad_rows = rows_p - hash_rows
+    h_lo = jnp.pad(h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
+    h_hi = jnp.pad(h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
+
+    gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
+    gm_hi = h_hi.transpose(1, 0, 2)
+    l_arr = jnp.full((1,), L, _I32)
+    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(gm_lo, gm_hi, l_arr, w)
+    # back to row-major (rows_out, SUB, LANE)
+    w_lo = w_lo.transpose(1, 0, 2)
+    w_hi = w_hi.transpose(1, 0, 2)
+    w_ix = w_ix.transpose(1, 0, 2)
+    rows_out = w_ix.shape[0]
+
+    row_io = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 0)
+    )
+    chunk_io = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 1) * _LANE
+        + jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 2)
+    )
+    g_window = chunk_io * L + row_io
+    own = (row_io < L) & (g_window < nw)
+    prev_ix = jnp.concatenate(
+        [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
+    )
+    emit = own & ((row_io == 0) | (w_ix != prev_ix))
+
+    # compaction into global window order: per-lane running rank + per-chunk
+    # offsets (chunk-major lane order)
+    within = jnp.cumsum(emit.astype(_I32), axis=0)
+    per_lane = within[-1]  # (SUB, LANE)
+    offs = jnp.concatenate(
+        [jnp.zeros(1, _I32), jnp.cumsum(per_lane.reshape(-1))[:-1]]
+    ).reshape(_SUB, _LANE)
+    dest = jnp.where(emit, offs[None] + within - 1, cap)
+    flat = dest.reshape(-1)
+    out_pos = jnp.zeros(cap, _I32).at[flat].set(w_ix.reshape(-1), mode="drop")
+    out_lo = jnp.zeros(cap, _U32).at[flat].set(w_lo.reshape(-1), mode="drop")
+    out_hi = jnp.zeros(cap, _U32).at[flat].set(w_hi.reshape(-1), mode="drop")
+    count = jnp.sum(emit.astype(_I32))
+    return out_pos, out_lo, out_hi, count, ok
 
 
 def sketch_codes_pallas(
@@ -300,6 +398,31 @@ def sketch_codes_pallas(
     L = -(-nk // _CHUNKS)  # positions owned per chunk
     if L < 4 * halo and not interpret:
         return sketch_codes(codes, k, w)
+
+    if not interpret:
+        # fused device-resident fast path (exact when no N k-mers)
+        code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+        buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
+        buf[:n] = codes
+        cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+        pos, lo, hi, count, ok = _sketch_fused(jnp.asarray(buf), n, k, w, cap)
+        if bool(ok):
+            cnt = int(count)
+            if cnt <= cap:
+                pos = np.asarray(pos[:cnt]).astype(np.int64)
+                lo_np = np.asarray(lo[:cnt])
+                hi_np = np.asarray(hi[:cnt])
+                keep = np.empty(cnt, dtype=bool)
+                keep[0] = True
+                keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
+                sel = np.flatnonzero(keep)
+                canon = lo_np[sel].astype(np.uint64) | (
+                    hi_np[sel].astype(np.uint64) << np.uint64(32)
+                )
+                return Sketch(
+                    positions=pos[sel], hashes=derive_hash(canon, k)
+                )
+        # fall through: N-containing input (or cap overflow) -> host glue
 
     # chunk layout: rows = codes for L owned positions + halo (one strided
     # transpose, no python loop)
