@@ -199,6 +199,36 @@ def assemble(words: list[str]) -> int:
     return 0
 
 
+def analysis(words: list[str]) -> int:
+    """Alignment/QUAST evaluation of inputs and outputs vs a truth reference
+    (mirror of the reference's ``analysis`` Make target, ``ntJoin:158-161``)."""
+    from ntjoin_tpu.analysis import MissingToolError, align_to_reference
+
+    v = _parse_vars([w for w in words if not w.startswith("-")])
+    ref = v.get("ref", "None")
+    if ref == "None":
+        print("ERROR: must set ref", file=sys.stderr)
+        return 1
+    if v["target"] == "None":
+        print("ERROR: Must set target", file=sys.stderr)
+        return 1
+    k, w, n = int(v["k"]), int(v["w"]), int(v["n"])
+    references = v["references"].split() if v["references"] != "None" else []
+    targets = references + [
+        v["target"],
+        f"{v['target']}.k{k}.w{w}.n{n}.all.scaffolds.fa",
+    ]
+    try:
+        for fa in targets:
+            if os.path.exists(fa):
+                bam = align_to_reference(fa, ref, threads=int(v["t"]))
+                print(f"aligned {fa} -> {bam}")
+    except MissingToolError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("help", "-h", "--help"):
@@ -210,7 +240,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if cmd == "assemble":
         return assemble(rest)
-    print(f"ERROR: unknown command {cmd!r} (try: assemble, version, help)", file=sys.stderr)
+    if cmd == "analysis":
+        return analysis(rest)
+    if cmd == "all":
+        rc = assemble(rest)
+        return rc or analysis(rest)
+    print(
+        f"ERROR: unknown command {cmd!r} (try: assemble, analysis, all, version, help)",
+        file=sys.stderr,
+    )
     return 1
 
 

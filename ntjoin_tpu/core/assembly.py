@@ -87,10 +87,19 @@ class AssemblySketch:
         return cls.from_stream(name, weight, names, h, p, c)
 
     @classmethod
-    def from_tsv(cls, path: str, weight: float) -> "AssemblySketch":
-        """Parse an indexlr-format minimizer TSV (``id\\thash:pos[:seq] ...``)."""
+    def from_tsv(
+        cls, path: str, weight: float, repeat_filter=None
+    ) -> "AssemblySketch":
+        """Parse an indexlr-format minimizer TSV (``id\\thash:pos[:seq] ...``).
+
+        ``repeat_filter`` optionally drops repeat minimizers by k-mer
+        sequence (e.g. a :class:`ntjoin_tpu.utils.bloom.BloomFilter` built
+        from known repeats) — the reference's ``repeat_bf`` hook
+        (``ntjoin_utils.py:182``).
+        """
         names: list[str] = []
         hs, ps, cs = [], [], []
+        repeat_hashes: set[int] = set()
         with open(path, "r", encoding="utf-8") as fh:
             for line in fh:
                 parts = line.strip().split("\t")
@@ -102,9 +111,24 @@ class AssemblySketch:
                 names.append(parts[0])
                 for tok in parts[1].split(" "):
                     fields = tok.split(":")
-                    hs.append(int(fields[0]))
+                    h = int(fields[0])
+                    if (
+                        repeat_filter is not None
+                        and len(fields) > 2
+                        and repeat_filter.contains(fields[2])
+                    ):
+                        # repeat minimizers behave like duplicates: every
+                        # occurrence of the hash is dropped (ref :182-187)
+                        repeat_hashes.add(h)
+                        continue
+                    hs.append(h)
                     ps.append(int(fields[1]))
                     cs.append(ci)
+        if repeat_hashes:
+            keep = [i for i, h in enumerate(hs) if h not in repeat_hashes]
+            hs = [hs[i] for i in keep]
+            ps = [ps[i] for i in keep]
+            cs = [cs[i] for i in keep]
         return cls.from_stream(
             path,
             weight,

@@ -151,3 +151,48 @@ def build_graph(shared: SharedIndex) -> MinimizerGraph:
 def support_names(mask: int, assemblies) -> list[str]:
     """Decode a support bitmask into assembly names in assembly order."""
     return [a.name for i, a in enumerate(assemblies) if mask & (1 << i)]
+
+
+def extend_graph(base: MinimizerGraph, shared: SharedIndex) -> MinimizerGraph:
+    """Incremental graph build: append new adjacency evidence to ``base``.
+
+    Mirrors the reference's incremental ``build_graph`` mode used by sibling
+    tools (``ntjoin_utils.py:87-92,118-140``): existing edges keep their
+    attributes, pairs already present are skipped, and newly added edges are
+    dropped again when either endpoint's total incident weight exceeds
+    ``2 * sum(assembly weights)`` (``check_added_edges_incident_weights``,
+    ``ntjoin_utils.py:70-80``).
+    """
+    fresh = build_graph(shared)
+    if base.src.size == 0:
+        return fresh
+
+    def canon_keys(g):
+        lo = np.minimum(g.src, g.dst).astype(np.int64)
+        hi = np.maximum(g.src, g.dst).astype(np.int64)
+        return lo * np.int64(g.num_nodes) + hi
+
+    base_keys = np.sort(canon_keys(base))
+    fresh_keys = canon_keys(fresh)
+    is_new = ~np.isin(fresh_keys, base_keys)
+
+    merged = MinimizerGraph(
+        max(base.num_nodes, fresh.num_nodes),
+        np.concatenate([base.src, fresh.src[is_new]]),
+        np.concatenate([base.dst, fresh.dst[is_new]]),
+        np.concatenate([base.weight, fresh.weight[is_new]]),
+        np.concatenate([base.support_mask, fresh.support_mask[is_new]]),
+    )
+    merged.alive[: base.src.shape[0]] = base.alive
+
+    # incident-weight guard on the added edges only
+    max_expected = 2.0 * sum(a.weight for a in shared.assemblies)
+    incident = np.zeros(merged.num_nodes)
+    np.add.at(incident, merged.src[merged.alive], merged.weight[merged.alive])
+    np.add.at(incident, merged.dst[merged.alive], merged.weight[merged.alive])
+    new_slice = slice(base.src.shape[0], None)
+    flagged = (incident[merged.src[new_slice]] > max_expected) | (
+        incident[merged.dst[new_slice]] > max_expected
+    )
+    merged.alive[new_slice] &= ~flagged
+    return merged

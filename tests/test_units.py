@@ -1,0 +1,197 @@
+"""Unit tests for engine components with no end-to-end coverage elsewhere."""
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ntjoin_tpu.core.orientation import determine_orientation, mann_kendall
+from ntjoin_tpu.core.overlap_region import OverlapRegionResolver
+from ntjoin_tpu.core.pathnode import Bed, PathNode
+from ntjoin_tpu.ops.intervals import complement, self_intersect_counts, sort_beds
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestOverlapRegionResolver:
+    def test_subsumed_dropped(self):
+        r = OverlapRegionResolver()
+        r.add(Bed("c", 0, 100))
+        r.add(Bed("c", 10, 50))
+        fixes = r.resolve()
+        assert fixes[Bed("c", 0, 100)] == Bed("c", 0, 100)
+        assert fixes[Bed("c", 10, 50)] is None
+
+    def test_partial_overlap_trimmed_to_abut(self):
+        r = OverlapRegionResolver()
+        r.add(Bed("c", 0, 100))
+        r.add(Bed("c", 80, 250))  # longer -> best
+        fixes = r.resolve()
+        assert fixes[Bed("c", 80, 250)] == Bed("c", 80, 250)
+        assert fixes[Bed("c", 0, 100)] == Bed("c", 0, 79)
+
+    def test_iterative_fixup_chain(self):
+        r = OverlapRegionResolver()
+        r.add(Bed("c", 0, 100))
+        r.add(Bed("c", 90, 300))  # best
+        r.add(Bed("c", 95, 180))
+        fixes = r.resolve()
+        survivors = sorted(b for b in fixes.values() if b is not None)
+        for a, b in zip(survivors, survivors[1:]):
+            assert not (a.start <= b.end and b.start <= a.end)
+
+
+class TestIntervals:
+    def test_sort_and_counts(self):
+        beds = [Bed("b", 5, 10), Bed("a", 0, 4), Bed("a", 2, 8)]
+        s = sort_beds(beds)
+        assert s[0].contig == "a" and s[0].start == 0
+        counts = self_intersect_counts(s)
+        assert counts == [2, 2, 1]
+
+    def test_counts_half_open(self):
+        # abutting half-open intervals do not overlap
+        beds = [Bed("a", 0, 5), Bed("a", 5, 10)]
+        assert self_intersect_counts(beds) == [1, 1]
+
+    def test_complement(self):
+        beds = [Bed("a", 2, 5), Bed("a", 4, 9)]
+        out = complement(beds, [("a", 12), ("b", 3)])
+        assert out == [Bed("a", 0, 2), Bed("a", 9, 12), Bed("b", 0, 3)]
+
+
+class TestOrientation:
+    def test_strict(self):
+        assert determine_orientation([1, 5, 9], False, 90) == "+"
+        assert determine_orientation([9, 5, 1], False, 90) == "-"
+        assert determine_orientation([5], False, 90) == "?"
+
+    def test_vote(self):
+        pos = list(range(0, 200, 10)) + [5]  # 20/21 increasing pairs
+        assert determine_orientation(pos, False, 90) == "+"
+        assert determine_orientation(pos[::-1], False, 90) == "-"
+        assert determine_orientation([1, 9, 2, 8, 3], False, 90) == "?"
+
+    def test_mann_kendall_statistics(self):
+        # classic MK example: strong upward trend with noise
+        data = [12, 15, 14, 18, 21, 19, 25, 28, 26, 30, 33, 31]
+        trend, h, p, z = mann_kendall(data)
+        assert trend == "increasing" and h
+        assert p < 0.001
+        # reversed data mirrors z
+        _, _, p2, z2 = mann_kendall(data[::-1])
+        assert math.isclose(p, p2, rel_tol=1e-12)
+        assert math.isclose(z, -z2, rel_tol=1e-12)
+
+    def test_mkt_orientation_where_vote_fails(self):
+        data = [12, 15, 14, 18, 21, 19, 25, 28, 26, 30, 33, 31]
+        assert determine_orientation(data, False, 90) == "?"
+        assert determine_orientation(data, True, 90) == "+"
+        assert determine_orientation(data[::-1], True, 90) == "-"
+
+
+class TestPathNode:
+    def test_adjusted_coordinates(self):
+        node = PathNode("c", "+", 100, 400, 1000, 0, 1)
+        assert node.aligned_length == 300
+        node.start_adjust = 10
+        node.end_adjust = 250
+        assert node.adjusted_start() == 110
+        assert node.adjusted_end() == 400 - (300 - 250)
+        rev = PathNode("c", "-", 100, 400, 1000, 0, 1)
+        rev.start_adjust = 10
+        rev.end_adjust = 250
+        assert rev.adjusted_start() == 100 + (300 - 250)
+        assert rev.adjusted_end() == 400 - 10
+
+
+class TestIncrementalGraph:
+    def test_extend_skips_existing_and_guards(self):
+        from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
+        from ntjoin_tpu.graph.mingraph import build_graph, extend_graph
+
+        def asm(name, weight, hashes):
+            return AssemblySketch.from_stream(
+                name, weight, ["c"],
+                np.array(hashes, dtype=np.uint64),
+                np.arange(len(hashes), dtype=np.int64) * 100,
+                np.zeros(len(hashes), dtype=np.int32),
+            )
+
+        shared = SharedIndex([asm("a", 2.0, [11, 22, 33]), asm("b", 1.0, [11, 22, 33])])
+        g1 = build_graph(shared)
+        g2 = extend_graph(g1, shared)
+        # nothing new: same alive edge count
+        assert g2.num_edges == g1.num_edges
+
+
+class TestBloom:
+    def test_repeat_filter_hook(self, tmp_path):
+        from ntjoin_tpu.core.assembly import AssemblySketch
+        from ntjoin_tpu.utils.bloom import BloomFilter
+
+        bf = BloomFilter(1 << 12)
+        bf.insert("AAAA")
+        tsv = tmp_path / "x.fa.k4.w2.tsv"
+        tsv.write_text("c1\t10:0:AAAA 20:5:CCCC 30:9:GGGG\n")
+        sk = AssemblySketch.from_tsv(str(tsv), 1.0, repeat_filter=bf)
+        assert sk.hash.tolist() == [20, 30]
+        sk2 = AssemblySketch.from_tsv(str(tsv), 1.0)
+        assert len(sk2.hash) == 3
+
+
+def test_run_argparse_smoke(tmp_path):
+    """The argparse stage front-end runs the f-f case directly on TSVs."""
+    import shutil
+
+    for f in ["ref.fa", "scaf.f-f.fa"]:
+        shutil.copy(f"/root/reference/tests/{f}", tmp_path / f)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+         "backend=numpy", "target=scaf.f-f.fa", "references=ref.fa",
+         "reference_weights=2", "k=32", "w=1000", "prefix=pre", "overlap=False"],
+        cwd=tmp_path, env=env, check=True, capture_output=True,
+    )
+    # now drive the python stage directly over the produced TSVs
+    res = subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.run",
+         "-s", "scaf.f-f.fa.k32.w1000.tsv", "-r", "2", "-k", "32", "-n", "2",
+         "-p", "direct", "ref.fa.k32.w1000.tsv"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    lines = [ln for ln in (tmp_path / "direct.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_many_contigs_overlap_e2e(tmp_path):
+    """Synthetic many-contig fixture with overlap trimming on (the intent of
+    the reference's test_more_sequences, whose big fixture is an absent blob)."""
+    rng = np.random.default_rng(12345)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=60_000))
+    (tmp_path / "ref.fa").write_text(f">genome\n{genome}\n")
+    pieces = []
+    bounds = list(range(0, 60_000, 5000))
+    for i, b in enumerate(bounds):
+        end = min(60_000, b + 5000 + 40)  # 40 bp overlap into the next piece
+        pieces.append(f">piece{i}\n{genome[b:end]}\n")
+    (tmp_path / "target.fa").write_text("".join(pieces))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+         "backend=numpy", "target=target.fa", "references=ref.fa",
+         "reference_weights=2", "k=32", "w=250", "n=2", "prefix=many",
+         "overlap=True"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    lines = [ln for ln in (tmp_path / "many.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert len(lines) == 1
+    # all 12 pieces joined in order
+    assert lines[0].count("piece") == 12
+    assert (tmp_path / "target.fa.k32.w250.n2.all.scaffolds.fa").exists()
