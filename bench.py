@@ -109,6 +109,49 @@ def bench_host_oracle(codes_np, k, w):
     return codes_np.shape[0] / (time.monotonic() - t0)
 
 
+def bench_e2e(size_mbp: int = 30) -> float:
+    """Synthetic end-to-end scaffolding wall time: one reference genome,
+    target split into oriented 50 kbp contigs, full pipeline to artifacts."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="ntjoin_bench_")
+    try:
+        n = size_mbp * 1_000_000
+        rng = np.random.default_rng(7)
+        genome = (
+            np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, size=n)]
+            .tobytes()
+            .decode()
+        )
+        rc = str.maketrans("ACGT", "TGCA")
+        chunk = 5_000_000
+        with open(os.path.join(workdir, "ref.fa"), "w") as f:
+            for i in range(0, n, chunk):
+                f.write(f">r{i}\n{genome[i:i + chunk]}\n")
+        with open(os.path.join(workdir, "target.fa"), "w") as f:
+            for j, i in enumerate(range(0, n, 50_000)):
+                seg = genome[i : i + 50_000]
+                if j % 3 == 2:
+                    seg = seg[::-1].translate(rc)
+                f.write(f">t{j}\n{seg}\n")
+        t0 = time.monotonic()
+        res = subprocess.run(
+            [sys.executable, "-m", "ntjoin_tpu.cli", "assemble",
+             "backend=native", "target=target.fa", "references=ref.fa",
+             "reference_weights=2", "prefix=bench", "k=32", "w=1000", "n=2",
+             "overlap=False"],
+            cwd=workdir, capture_output=True, text=True,
+            env=dict(os.environ, PYTHONPATH=_REPO),
+        )
+        wall = time.monotonic() - t0
+        if res.returncode != 0:
+            return -1.0
+        return wall
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main():
     k, w = 32, 1000
     size = int(os.environ.get("BENCH_SIZE", 1 << 24))  # 16.8 Mbp
@@ -148,6 +191,7 @@ def main():
                     if native_bps
                     else "numpy oracle",
                     "baseline_gbps": round(baseline_bps / 1e9, 4),
+                    "e2e_scaffold_30mbp_wall_s": round(bench_e2e(30), 2),
                 },
             }
         )

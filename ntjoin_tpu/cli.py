@@ -67,16 +67,45 @@ def _truthy(val: str) -> bool:
     return val.strip().lower() in ("true", "1", "yes")
 
 
-def _sketch_backend(name: str):
-    """Pick the sketch implementation: pallas/jax on device, numpy oracle host."""
-    if name in ("auto", "jax", "pallas", "tpu"):
-        try:
-            from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
+def _device_healthy(timeout: float = 45.0) -> bool:
+    """Probe accelerator health in a throwaway subprocess (init can hang
+    when the tunnel is down — see CLAUDE.md)."""
+    import subprocess
 
-            return sketch_codes_jax
-        except Exception:  # pragma: no cover - fall back to oracle
-            if name != "auto":
-                raise
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp\n"
+             "assert float(jnp.ones(8).sum()) == 8.0\nprint('OK')"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return "OK" in res.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _sketch_backend(name: str):
+    """Pick the sketch implementation.
+
+    auto: Pallas device kernels when an accelerator answers a health probe,
+    else the native C++ sketcher, else the NumPy oracle.  All are
+    bit-identical; the parity suites enforce it.
+    """
+    if name in ("pallas", "tpu") or (name == "auto" and _device_healthy()):
+        from ntjoin_tpu.ops.sketch_pallas import sketch_codes_pallas
+
+        return sketch_codes_pallas
+    if name == "jax":
+        from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
+
+        return sketch_codes_jax
+    if name in ("auto", "native"):
+        from ntjoin_tpu.io.native import available, sketch_codes_native
+
+        if available():
+            return sketch_codes_native
+        if name == "native":
+            raise RuntimeError("native library unavailable (make -C native)")
     from ntjoin_tpu.ops.nthash_np import sketch_codes
 
     return sketch_codes
