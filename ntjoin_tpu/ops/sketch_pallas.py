@@ -81,8 +81,11 @@ def _sel(code, tab):
     return lo, hi
 
 
-def _hash_kernel(k, x_ref, lo_ref, hi_ref, val_ref,
-                 fwd_lo, fwd_hi, rev_lo, rev_hi, hist, last_bad):
+_UNROLL = 8  # recurrence rows advanced per loop iteration
+
+
+def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
+                 fwd_lo, fwd_hi, rev_lo, rev_hi, last_bad):
     t_in, t_out, t_rc_out, t_rc_in = _tables(k)
     g = pl.program_id(0)
 
@@ -93,49 +96,54 @@ def _hash_kernel(k, x_ref, lo_ref, hi_ref, val_ref,
         fwd_hi[...] = zeros
         rev_lo[...] = zeros
         rev_hi[...] = zeros
-        hist[...] = jnp.full(hist.shape, CODE_INVALID, _I32)
         last_bad[...] = jnp.full(last_bad.shape, -1, _I32)
 
     rb = x_ref.shape[0]
 
-    def body(t, _):
-        i = g * rb + t  # global row index
-        row = x_ref[t]  # (SUB, LANE) int32
-        out_c = hist[i % k]
-        hist[i % k] = row
-
+    def body(t8, _):
+        base = t8 * _UNROLL
+        tile = x_ref[pl.ds(base, _UNROLL)]  # (_UNROLL, SUB, LANE)
+        lag = xlag_ref[pl.ds(base, _UNROLL)]
         f = (fwd_lo[0], fwd_hi[0])
         r = (rev_lo[0], rev_hi[0])
-        # fwd_i = srol(fwd) ^ srol^k(seed[out]) ^ seed[in]
-        f = u64.srol_const(f, 1)
-        f = u64.xor(f, _sel(out_c, t_out))
-        f = u64.xor(f, _sel(row, t_in))
-        # rev_i = srol^{-1}(rev ^ seed[rc(out)]) ^ srol^{k-1}(seed[rc(in)])
-        r = u64.xor(r, _sel(out_c, t_rc_out))
-        r = u64.srol_const(r, 33 * 31 - 1)
-        r = u64.xor(r, _sel(row, t_rc_in))
+        lb = last_bad[0]
+        out_lo, out_hi, out_val = [], [], []
+        for u in range(_UNROLL):  # static unroll: one dynamic slice per tile
+            i = g * rb + base + u
+            row = tile[u]
+            out_c = lag[u]
+            # fwd_i = srol(fwd) ^ srol^k(seed[out]) ^ seed[in]
+            f = u64.srol_const(f, 1)
+            f = u64.xor(f, _sel(out_c, t_out))
+            f = u64.xor(f, _sel(row, t_in))
+            # rev_i = srol^{-1}(rev ^ seed[rc(out)]) ^ srol^{k-1}(seed[rc(in)])
+            r = u64.xor(r, _sel(out_c, t_rc_out))
+            r = u64.srol_const(r, 33 * 31 - 1)
+            r = u64.xor(r, _sel(row, t_rc_in))
+            lb = jnp.where(row >= CODE_INVALID, i, lb)
+            canon = u64.add(f, r)
+            out_lo.append(canon[0])
+            out_hi.append(canon[1])
+            out_val.append(((i - lb) >= k).astype(jnp.int32))
         fwd_lo[0], fwd_hi[0] = f
         rev_lo[0], rev_hi[0] = r
-
-        bad = row >= CODE_INVALID
-        lb = jnp.where(bad, i, last_bad[0])
         last_bad[0] = lb
-
-        canon = u64.add(f, r)
-        lo_ref[t] = canon[0]
-        hi_ref[t] = canon[1]
-        val_ref[t] = ((i - lb) >= k).astype(jnp.int32)
+        lo_ref[pl.ds(base, _UNROLL)] = jnp.stack(out_lo)
+        hi_ref[pl.ds(base, _UNROLL)] = jnp.stack(out_hi)
+        val_ref[pl.ds(base, _UNROLL)] = jnp.stack(out_val)
         return 0
 
-    jax.lax.fori_loop(0, rb, body, 0)
+    jax.lax.fori_loop(0, rb // _UNROLL, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def _hash_chunked(x, k: int, interpret: bool = False):
+def _hash_chunked(x, x_lag, k: int, interpret: bool = False):
     """x: (rows, SUB, LANE) int32 codes -> (lo, hi, valid) same shape.
 
-    Row r of output = canonical hash of the k-mer *ending* at row r (valid
-    from row k-1 on); callers shift by k-1 to get start-indexed hashes.
+    ``x_lag`` is ``x`` delayed by k rows (INVALID before row k): the
+    outgoing-base stream of the rolling recurrences.  Row r of output =
+    canonical hash of the k-mer *ending* at row r (valid from row k-1 on);
+    callers shift by k-1 to get start-indexed hashes.
     """
     rows = x.shape[0]
     grid = rows // _ROW_BLOCK
@@ -145,7 +153,7 @@ def _hash_chunked(x, k: int, interpret: bool = False):
     return pl.pallas_call(
         functools.partial(_hash_kernel, k),
         grid=(grid,),
-        in_specs=[spec],
+        in_specs=[spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct((rows, _SUB, _LANE), _U32),
@@ -157,14 +165,13 @@ def _hash_chunked(x, k: int, interpret: bool = False):
             pltpu.VMEM((1, _SUB, _LANE), _U32),  # fwd hi
             pltpu.VMEM((1, _SUB, _LANE), _U32),  # rev lo
             pltpu.VMEM((1, _SUB, _LANE), _U32),  # rev hi
-            pltpu.VMEM((k, _SUB, _LANE), _I32),  # code ring buffer
             pltpu.VMEM((1, _SUB, _LANE), _I32),  # last invalid row
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(x)
+    )(x, x_lag)
 
 
 # -- windowed argmin ---------------------------------------------------------
@@ -310,8 +317,11 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int):
     x = jnp.concatenate([base, halo_block], axis=0)
     x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
     x = x.reshape(code_rows, _SUB, _LANE)
+    x_lag = jnp.pad(
+        x[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
+    )
 
-    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, k)
+    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k)
 
     # start-indexed hash rows for the window stage
     h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
@@ -431,8 +441,12 @@ def sketch_codes_pallas(
     padded[:n] = codes
     view = np.lib.stride_tricks.sliding_window_view(padded, code_rows)[:: L if L else 1]
     x = np.ascontiguousarray(view[:_CHUNKS].T).reshape(code_rows, _SUB, _LANE)
+    x_lag = np.full_like(x, CODE_INVALID)
+    x_lag[k:] = x[:-k]
 
-    h_lo, h_hi, val = _hash_chunked(jnp.asarray(x), k, interpret=interpret)
+    h_lo, h_hi, val = _hash_chunked(
+        jnp.asarray(x), jnp.asarray(x_lag), k, interpret=interpret
+    )
     h_lo = np.asarray(h_lo).reshape(code_rows, _CHUNKS)
     h_hi = np.asarray(h_hi).reshape(code_rows, _CHUNKS)
     val = np.asarray(val).reshape(code_rows, _CHUNKS).astype(bool)
