@@ -1,0 +1,105 @@
+"""Device-side minimizer filtering and edge tallying (jittable).
+
+The on-device counterparts of the host filters in ``core/assembly.py`` and
+``graph/mingraph.py`` — sorted-hash joins over uint32 lane pairs:
+
+* within-assembly uniqueness (drop every hash occurring more than once;
+  semantics of reference ``read_minimizers``, ``ntjoin_utils.py:182-192``),
+* cross-assembly intersection (keep hashes present in all assemblies;
+  reference ``filter_minimizers``, ``ntjoin_utils.py:152-165``),
+* adjacency edge tally (canonical unordered pairs with per-assembly
+  support; reference ``build_graph``, ``ntjoin_utils.py:83-141``).
+
+These run under jit on any backend and compose with the mesh collectives in
+``parallel/mesh.py`` for the distributed path (per-shard sort -> all-gather
+-> identical global verdicts).  The single-host pipeline defaults to the
+NumPy implementations; byte-parity is enforced by tests.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lexsort_pairs(lo, hi):
+    return jnp.lexsort((lo, hi))
+
+
+def unique_mask(lo, hi):
+    """keep[i] = hash i occurs exactly once in the array (original order)."""
+    n = lo.shape[0]
+    order = _lexsort_pairs(lo, hi)
+    s_lo, s_hi = lo[order], hi[order]
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), (s_lo[1:] == s_lo[:-1]) & (s_hi[1:] == s_hi[:-1])]
+    )
+    same_next = jnp.concatenate([same_prev[1:], jnp.zeros(1, bool)])
+    uniq_sorted = ~(same_prev | same_next)
+    keep = jnp.zeros(n, bool).at[order].set(uniq_sorted)
+    return keep
+
+
+def member_mask(q_lo, q_hi, ref_lo, ref_hi):
+    """mask[i] = query hash i present in the reference set.
+
+    Tag-sort formulation (no 64-bit keys): refs sort before queries among
+    equal hashes; a running cummax of the last-seen reference index tells
+    each query whether an equal reference precedes it.
+    """
+    nq = q_lo.shape[0]
+    nr = ref_lo.shape[0]
+    lo = jnp.concatenate([ref_lo, q_lo])
+    hi = jnp.concatenate([ref_hi, q_hi])
+    tag = jnp.concatenate([jnp.zeros(nr, jnp.int32), jnp.ones(nq, jnp.int32)])
+    order = jnp.lexsort((tag, lo, hi))
+    s_lo, s_hi, s_tag = lo[order], hi[order], tag[order]
+    idx = jnp.arange(nr + nq, dtype=jnp.int32)
+    ref_pos = jnp.where(s_tag == 0, idx, -1)
+    last_ref = jax.lax.cummax(ref_pos)
+    at = jnp.clip(last_ref, 0, nr + nq - 1)
+    member_sorted = (
+        (s_tag == 1)
+        & (last_ref >= 0)
+        & (s_lo[at] == s_lo)
+        & (s_hi[at] == s_hi)
+    )
+    member = jnp.zeros(nr + nq, bool).at[order].set(member_sorted)
+    return member[nr:]
+
+
+def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
+    """Canonical adjacency pairs with summed weights and support bitmasks.
+
+    Inputs are the concatenated per-assembly shared-minimizer streams
+    (node id, contig id, assembly index per minimizer, in stream order).
+    Returns per consecutive-pair-slot (lo, hi, weight, support) arrays with
+    a validity mask (pairs crossing contig/assembly boundaries are dead);
+    grouping/dedup happens via sort.
+    """
+    u = node_ids[:-1]
+    v = node_ids[1:]
+    same = (ctg_ids[1:] == ctg_ids[:-1]) & (asm_ids[1:] == asm_ids[:-1])
+    lo = jnp.minimum(u, v).astype(jnp.int64)
+    hi = jnp.maximum(u, v).astype(jnp.int64)
+    sentinel = jnp.int64(num_nodes) * num_nodes
+    key = jnp.where(same, lo * num_nodes + hi, sentinel)
+    order = jnp.argsort(key, stable=True)
+    k_s = key[order]
+    a_s = asm_ids[:-1][order]
+    alive = k_s < sentinel
+    new_group = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
+    seg = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # group id per element
+    nseg = k_s.shape[0]
+    w = jnp.asarray(weights)[a_s]
+    weight = jnp.zeros(nseg, w.dtype).at[seg].add(jnp.where(alive, w, 0.0))
+    support = jnp.zeros(nseg, jnp.int64).at[seg].add(
+        jnp.where(alive, jnp.int64(1) << a_s.astype(jnp.int64), 0)
+    )
+    # one representative key per group id (all elements of a group share it)
+    key_first = jnp.zeros(nseg, jnp.int64).at[seg].max(
+        jnp.where(alive, k_s, 0)
+    )
+    valid = key_first > 0  # key 0 impossible: lo < hi always
+    g_lo = (key_first // num_nodes).astype(jnp.int32)
+    g_hi = (key_first % num_nodes).astype(jnp.int32)
+    return g_lo, g_hi, weight, support, valid
