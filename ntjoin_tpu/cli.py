@@ -267,6 +267,19 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "version":
         print(VERSION)
         return 0
+    if cmd == "check_install":
+        # counterpart of the reference's check_install target (ntJoin:192-198)
+        import numpy  # noqa: F401
+
+        from ntjoin_tpu.io.native import available
+        from ntjoin_tpu.ops.nthash_np import sketch_seq
+
+        sk = sketch_seq("ACGT" * 64, 15, 10)
+        assert sk.positions.size > 0
+        print("core sketch: OK")
+        print(f"native library: {'OK' if available() else 'MISSING (make -C native)'}")
+        print(f"accelerator: {'OK' if _device_healthy() else 'not reachable'}")
+        return 0
     if cmd == "assemble":
         return assemble(rest)
     if cmd == "analysis":

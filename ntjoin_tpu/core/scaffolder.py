@@ -62,8 +62,40 @@ class Scaffolder:
 
     # -- pipeline --------------------------------------------------------
 
+    def _print_parameters(self) -> None:
+        """Startup parameter echo (reference ``print_parameters_scaffold``,
+        ``ntjoin_assemble.py:722-749``)."""
+        cfg = self.cfg
+        print("Running ntjoin-tpu scaffolding..")
+        print("Parameters:")
+        print("\tReference TSV files: ", cfg.references)
+        print("\t-s ", cfg.target)
+        print("\t-l ", cfg.target_weight)
+        print("\t-r ", cfg.reference_weights)
+        print("\t-p ", cfg.prefix)
+        print("\t-n ", cfg.n)
+        print("\t-k ", cfg.k)
+        print("\t-g ", cfg.g)
+        print("\t-G ", cfg.G)
+        print("\t-t ", cfg.t)
+        if cfg.agp:
+            print("\t--agp")
+        if cfg.no_cut:
+            print("\t--no_cut")
+        if cfg.mkt:
+            print("Orienting contigs with Mann-Kendall Test (more computationally intensive)\n")
+        else:
+            print("Orienting contigs using increasing/decreasing minimizer positions\n")
+        if cfg.overlap:
+            print("\t--overlap")
+            print("\t--overlap_gap", cfg.overlap_gap)
+            print("\t--overlap_k", cfg.overlap_k)
+            print("\t--overlap_w", cfg.overlap_w)
+
     def run(self) -> None:
         cfg = self.cfg
+        if cfg.verbose:
+            self._print_parameters()
 
         self._log("Reading minimizers")
         assemblies = [
