@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <string>
 
@@ -190,6 +191,78 @@ int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
       }
     }
     ++stream_i;
+  }
+  return count < cap ? count : cap;
+}
+
+// Tile-parallel sketch: threads own disjoint window ranges with one extra
+// left seam window each; halos make every window exact and the merge drops
+// the duplicate seam emission (same halo algebra as the device mesh path).
+// Falls back to the single-pass sketcher when the record contains non-ACGT
+// bases (windows slide over valid k-mers and may span beyond a halo).
+int64_t nj_sketch_mt(const uint8_t* codes, int64_t n, int k, int w,
+                     int threads, int64_t* positions, uint64_t* hashes,
+                     int64_t cap) {
+  if (k > n || w > n - k + 1) return 0;
+  int64_t nk = n - k + 1;
+  int64_t nw = nk - w + 1;
+  if (threads <= 1 || nw < threads * 4096) {
+    return nj_sketch(codes, n, k, w, positions, hashes, cap);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (codes[i] >= kInvalid) {
+      return nj_sketch(codes, n, k, w, positions, hashes, cap);
+    }
+  }
+  int64_t per = (nw + threads - 1) / threads;
+  struct Part {
+    std::vector<int64_t> pos;
+    std::vector<uint64_t> hash;
+  };
+  std::vector<Part> parts((size_t)threads);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&, t]() {
+      int64_t w_lo = (int64_t)t * per;
+      int64_t w_hi = w_lo + per < nw ? w_lo + per : nw;
+      if (w_lo >= w_hi) return;
+      int64_t lead = t > 0 ? 1 : 0;  // one extra left window for seam dedupe
+      int64_t base_lo = w_lo - lead;
+      int64_t base_hi = w_hi - 1 + w + k - 1;  // last window's last base
+      int64_t len = base_hi - base_lo;
+      int64_t local_cap = (w_hi - w_lo) + 2;
+      Part& part = parts[t];
+      part.pos.resize((size_t)local_cap);
+      part.hash.resize((size_t)local_cap);
+      int64_t cnt = nj_sketch(codes + base_lo, len, k, w, part.pos.data(),
+                              part.hash.data(), local_cap);
+      // grow on overflow (dense emission)
+      while (cnt >= local_cap) {
+        local_cap *= 2;
+        part.pos.resize((size_t)local_cap);
+        part.hash.resize((size_t)local_cap);
+        cnt = nj_sketch(codes + base_lo, len, k, w, part.pos.data(),
+                        part.hash.data(), local_cap);
+      }
+      part.pos.resize((size_t)cnt);
+      part.hash.resize((size_t)cnt);
+      for (auto& p : part.pos) p += base_lo;  // back to global positions
+    });
+  }
+  for (auto& th : pool) th.join();
+  int64_t count = 0;
+  int64_t last_pos = -1;
+  for (int t = 0; t < threads; ++t) {
+    const Part& part = parts[t];
+    for (size_t i = 0; i < part.pos.size(); ++i) {
+      if (part.pos[i] == last_pos) continue;  // duplicate seam emission
+      if (count < cap) {
+        positions[count] = part.pos[i];
+        hashes[count] = part.hash[i];
+      }
+      ++count;
+      last_pos = part.pos[i];
+    }
   }
   return count < cap ? count : cap;
 }

@@ -8,7 +8,7 @@ mark the behaviour each function reproduces.
 """
 from __future__ import annotations
 
-import numpy as np
+
 
 from ntjoin_tpu.core.assembly import SharedIndex
 from ntjoin_tpu.core.orientation import determine_orientation

@@ -48,6 +48,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.nj_sketch_mt.restype = ctypes.c_int64
+    lib.nj_sketch_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.nj_canonical_hashes.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
@@ -73,8 +78,12 @@ def available() -> bool:
     return _load() is not None
 
 
-def sketch_codes_native(codes: np.ndarray, k: int, w: int):
-    """Rolling-hash sketch via the C++ library (bit-identical to the oracle)."""
+def sketch_codes_native(codes: np.ndarray, k: int, w: int, threads: int = 0):
+    """Rolling-hash sketch via the C++ library (bit-identical to the oracle).
+
+    threads=0 uses all CPUs; tile-parallel with exact seam handling (N-free
+    records; N-containing records run single-threaded).
+    """
     from ntjoin_tpu.ops.nthash_np import Sketch
 
     lib = _load()
@@ -87,8 +96,10 @@ def sketch_codes_native(codes: np.ndarray, k: int, w: int):
     pos = np.empty(cap, dtype=np.int64)
     hashes = np.empty(cap, dtype=np.uint64)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
-    count = lib.nj_sketch(
-        codes.ctypes.data, n, k, w, pos.ctypes.data, hashes.ctypes.data, cap
+    threads = threads or (os.cpu_count() or 1)
+    count = lib.nj_sketch_mt(
+        codes.ctypes.data, n, k, w, threads,
+        pos.ctypes.data, hashes.ctypes.data, cap,
     )
     return Sketch(positions=pos[:count].copy(), hashes=hashes[:count].copy())
 

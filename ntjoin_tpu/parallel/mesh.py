@@ -22,7 +22,6 @@ shorter than w+k) shard exactly.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
