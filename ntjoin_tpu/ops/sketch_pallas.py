@@ -237,6 +237,91 @@ def _window_kernel(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
     jax.lax.fori_loop(0, w, bwd, (maxu, maxu, maxi))
 
 
+def _shift_down(x, s, fill):
+    """Rows r >= s get row r-s; rows < s get ``fill`` rows (static s)."""
+    return jnp.concatenate([fill[:s], x[:-s]], axis=0)
+
+
+def _shift_up(x, s, fill):
+    return jnp.concatenate([x[s:], fill[:s]], axis=0)
+
+
+def _tile_scan3(vals, shift, fill3):
+    """Inclusive lexmin scan over the 8-row sublane axis (3 log steps)."""
+    for s in (1, 2, 4):
+        shifted = tuple(shift(v, s, f) for v, f in zip(vals, fill3))
+        vals = _lexmin3(vals, shifted)
+    return vals
+
+
+def _window_kernel_v2(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
+                      s_lo, s_hi, s_ix):
+    """Sublane-tiled Van Herk: 8 window rows per loop iteration.
+
+    Requires w % 8 == 0 (the wrapper falls back to the row-sequential kernel
+    otherwise).  Per tile: in-tile lexmin scans along sublanes (3 shifted
+    combines) plus a running carry replace 8 sequential row steps.
+    """
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    prev = ((b + 1) % 2) * w
+    cur = (b % 2) * w
+    nt = w // 8
+    maxu = jnp.full((8, _LANE), _MAXU, _U32)
+    maxi = jnp.full((8, _LANE), np.int32(2**31 - 1), _I32)
+    fills = (maxu, maxu, maxi)
+    chunk = g * _LANE + jax.lax.broadcasted_iota(_I32, (8, _LANE), 1)
+    row_in_tile = jax.lax.broadcasted_iota(_I32, (8, _LANE), 0)
+
+    def tile(ref, t8):
+        return ref[0, pl.ds(t8 * 8, 8), :]
+
+    def ix_tile(t8):
+        return chunk * l_ref[0] + (b * w + t8 * 8) + row_in_tile
+
+    # forward: emit 8 windows of block b-1 per tile; carry = inclusive prefix
+    def fwd(t8, carry):
+        vals = (tile(lo_ref, t8), tile(hi_ref, t8), ix_tile(t8))
+        incl = _tile_scan3(vals, _shift_down, fills)
+        carry_b = tuple(jnp.broadcast_to(c, (8, _LANE)) for c in carry)
+        incl = _lexmin3(incl, carry_b)
+        # exclusive prefix per row: shift down by one, row 0 <- carry
+        excl = tuple(
+            _shift_down(i, 1, c) for i, c in zip(incl, carry_b)
+        )
+
+        @pl.when(b > 0)
+        def _():
+            sp = (
+                s_lo[pl.ds(prev + t8 * 8, 8), :],
+                s_hi[pl.ds(prev + t8 * 8, 8), :],
+                s_ix[pl.ds(prev + t8 * 8, 8), :],
+            )
+            res = _lexmin3(sp, excl)
+            out_lo[0, pl.ds(t8 * 8, 8), :] = res[0]
+            out_hi[0, pl.ds(t8 * 8, 8), :] = res[1]
+            out_ix[0, pl.ds(t8 * 8, 8), :] = res[2]
+
+        return tuple(i[7:8] for i in incl)  # (1, LANE) carries
+
+    init = (maxu[:1], maxu[:1], maxi[:1])
+    jax.lax.fori_loop(0, nt, fwd, init)
+
+    # backward: fill this block's suffix scan, 8 rows per step
+    def bwd(j, carry):
+        t8 = nt - 1 - j
+        vals = (tile(lo_ref, t8), tile(hi_ref, t8), ix_tile(t8))
+        incl = _tile_scan3(vals, _shift_up, fills)
+        carry_b = tuple(jnp.broadcast_to(c, (8, _LANE)) for c in carry)
+        incl = _lexmin3(incl, carry_b)
+        s_lo[pl.ds(cur + t8 * 8, 8), :] = incl[0]
+        s_hi[pl.ds(cur + t8 * 8, 8), :] = incl[1]
+        s_ix[pl.ds(cur + t8 * 8, 8), :] = incl[2]
+        return tuple(i[:1] for i in incl)
+
+    jax.lax.fori_loop(0, nt, bwd, init)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
 def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
     """Per-window (length w, along rows) lexicographic argmin, per lane.
@@ -258,8 +343,9 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
         memory_space=pltpu.VMEM,
     )
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = _window_kernel_v2 if w % 8 == 0 else _window_kernel
     return pl.pallas_call(
-        functools.partial(_window_kernel, w),
+        functools.partial(kernel, w),
         grid=(groups, nb),
         in_specs=[scalar_spec, in_spec, in_spec],
         out_specs=(out_spec, out_spec, out_spec),
