@@ -258,7 +258,13 @@ class Scaffolder:
             coords = valid_mask_coords(nodes, cfg.overlap_k, cfg.overlap_w)
             masked_seqs = []
             for seq, node, (lo, hi) in zip(sequences, nodes, coords):
-                core = seq.strip("Nn")
+                # Drop exactly the appended gap Ns.  The reference strips all
+                # terminal Ns instead (``seq.strip("Nn")``,
+                # ntjoin_assemble.py:571-573) and its length assert crashes
+                # whenever a region's own sequence starts/ends with N; this
+                # slice is byte-identical on every non-crashing input and
+                # keeps the cut-coordinate frame on the rest.
+                core = seq[: node.aligned_length]
                 masked = core[:lo] + "N" * (hi - lo) + core[hi:]
                 assert len(masked) == node.aligned_length
                 seg_file.write(
