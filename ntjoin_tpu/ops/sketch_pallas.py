@@ -373,8 +373,9 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap"))
-def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int):
+@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap", "interpret"))
+def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
+                  interpret: bool = False):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -397,17 +398,22 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int):
     nw = nk - w + 1
 
     codes = codes_padded.astype(_I32)
-    base = codes[: _CHUNKS * L].reshape(_CHUNKS, L).T  # (L, CHUNKS)
-    tail = codes[_CHUNKS * L : _CHUNKS * L + halo][:, None]
-    halo_block = jnp.concatenate([base[:halo, 1:], tail], axis=1)
-    x = jnp.concatenate([base, halo_block], axis=0)
+    # chunk layout rows [s*L, (s+1)*L) come from the flat array shifted by
+    # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
+    # halos longer than L
+    sections = -(-(L + halo) // L)
+    blocks = [
+        codes[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+        for s in range(sections)
+    ]
+    x = jnp.concatenate(blocks, axis=0)[: L + halo]
     x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
     x = x.reshape(code_rows, _SUB, _LANE)
     x_lag = jnp.pad(
         x[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
     )
 
-    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k)
+    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
     # start-indexed hash rows for the window stage
     h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
@@ -437,7 +443,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int):
     gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
     gm_hi = h_hi.transpose(1, 0, 2)
     l_arr = jnp.full((1,), L, _I32)
-    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(gm_lo, gm_hi, l_arr, w)
+    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(gm_lo, gm_hi, l_arr, w, interpret=interpret)
     # back to row-major (rows_out, SUB, LANE)
     w_lo = w_lo.transpose(1, 0, 2)
     w_hi = w_hi.transpose(1, 0, 2)
@@ -495,13 +501,15 @@ def sketch_codes_pallas(
     if L < 4 * halo and not interpret:
         return sketch_codes(codes, k, w)
 
-    if not interpret:
+    if True:
         # fused device-resident fast path (exact when no N k-mers)
         code_rows = _ceil_to(L + halo, _ROW_BLOCK)
         buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
         buf[:n] = codes
         cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
-        pos, lo, hi, count, ok = _sketch_fused(jnp.asarray(buf), n, k, w, cap)
+        pos, lo, hi, count, ok = _sketch_fused(
+            jnp.asarray(buf), n, k, w, cap, interpret=interpret
+        )
         if bool(ok):
             cnt = int(count)
             if cnt <= cap:

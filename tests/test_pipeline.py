@@ -260,3 +260,34 @@ def test_mx_r_r_overlap(workdir):
         overlap="True",
     )
     assert paths[-1] == "ntJoin0\t1-:66-2099 20N 2-:0-2297"
+
+
+# -- parameter behaviour pins (not in the reference suite) --
+
+
+def test_min_gap_parameter(workdir):
+    paths = run_pair(workdir, "ref.fa", "scaf.f-f.fa", "g_test", overlap="False",
+                     g=100)
+    assert paths == ["ntJoin0\t1_f+:0-1981 100N 2_f+:0-2329"]
+
+
+def test_max_gap_parameter(workdir):
+    paths = run_pair(
+        workdir, "ref.multiple.fa", "scaf.multiple.fa", "G_test",
+        window=500, n=1, overlap="False", G=50,
+    )
+    # estimated gaps (100N / 124N in the unclamped test) clamp to G=50
+    got = {p.split("\t")[1] for p in paths}
+    assert got == {"2_1_p+:0-2492 50N 2_2_n-:0-2574", "1_1_p+:0-1744 50N 1_2_p+:0-1844"}
+
+
+def test_target_weight(workdir):
+    # heavier target than reference flips the max-weight assembly used for
+    # path orientation; the f-f case is symmetric so output is unchanged
+    paths = launch(
+        workdir, "tw_test",
+        "target=scaf.f-f.fa", "target_weight=3", "references=ref.fa",
+        "reference_weights=2", "prefix=tw_test", "k=32", "w=1000", "n=2",
+        "overlap=False",
+    )
+    assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]

@@ -31,3 +31,32 @@ def test_parity_with_ns():
 def test_repeat_tiebreaks():
     codes = np.tile(np.array([0, 1, 2, 3], dtype=np.uint8), 12_000)
     _assert_same(codes, 8, 16)
+
+
+def test_fused_pipeline_parity():
+    """The fused device program (bench path) matches the oracle end to end."""
+    from ntjoin_tpu.ops.sketch_pallas import _CHUNKS, _ROW_BLOCK, _ceil_to, _sketch_fused
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    for k, w in [(15, 16), (32, 40)]:
+        codes = rng.integers(0, 4, size=70_000).astype(np.uint8)
+        n = codes.shape[0]
+        nk = n - k + 1
+        halo = w + k - 2
+        L = -(-nk // _CHUNKS)
+        code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+        buf = np.full(_CHUNKS * L + code_rows, 4, dtype=np.int8)
+        buf[:n] = codes
+        cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+        pos, lo, hi, count, ok = _sketch_fused(
+            jnp.asarray(buf), n, k, w, cap, interpret=True
+        )
+        assert bool(ok)
+        cnt = int(count)
+        pos = np.asarray(pos[:cnt]).astype(np.int64)
+        keep = np.ones(cnt, bool)
+        keep[1:] = pos[1:] != pos[:-1]
+        got_pos = pos[np.flatnonzero(keep)]
+        ref = sketch_codes(codes, k, w)
+        assert got_pos.tolist() == ref.positions.tolist()
