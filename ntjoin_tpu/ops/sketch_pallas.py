@@ -480,162 +480,175 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     return out_pos, out_lo, out_hi, count, ok
 
 
+@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap", "interpret"))
+def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
+                          interpret: bool = False):
+    """Fused sketch with device-resident valid-k-mer compaction (N-safe).
+
+    Generalises ``_sketch_fused``: after hashing, owned valid k-mers are
+    ranked with a cumsum, scattered into a re-chunked stream layout (owned
+    copy plus the previous chunk's halo copy), and the window stage runs on
+    the compacted stream — windows slide over valid k-mers exactly like the
+    oracle.  Returns (pos, lo, hi, count): emissions in stream order with
+    chunk-seam duplicates still present.
+    """
+    nk = n - k + 1
+    halo = w + k - 2
+    L = -(-nk // _CHUNKS)
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+
+    codes = codes_padded.astype(_I32)
+    sections = -(-(L + halo) // L)
+    blocks = [
+        codes[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+        for s in range(sections)
+    ]
+    x = jnp.concatenate(blocks, axis=0)[: L + halo]
+    x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
+    x = x.reshape(code_rows, _SUB, _LANE)
+    x_lag = jnp.pad(
+        x[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
+    )
+    h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
+
+    # owned valid k-mers (halo copies excluded) ranked in genomic order
+    own_rows = L
+    h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + own_rows)
+    h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + own_rows)
+    val = jax.lax.slice_in_dim(val, k - 1, k - 1 + own_rows)
+    row_iota = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (own_rows, _SUB, _LANE), 0)
+    )
+    chunk_iota = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (own_rows, _SUB, _LANE), 1) * _LANE
+        + jax.lax.broadcasted_iota(_I32, (own_rows, _SUB, _LANE), 2)
+    )
+    gpos = chunk_iota * L + row_iota
+    owned = (val == 1) & (gpos < nk)
+
+    within = jnp.cumsum(owned.astype(_I32), axis=0)
+    per_lane = within[-1]  # (SUB, LANE), lane order == chunk order
+    offs = jnp.concatenate(
+        [jnp.zeros(1, _I32), jnp.cumsum(per_lane.reshape(-1))[:-1]]
+    ).reshape(_SUB, _LANE)
+    rank = offs[None] + within - 1  # global stream rank where owned
+    stream_count = jnp.sum(owned.astype(_I32))
+
+    # re-chunk the compacted stream: owned copy + previous chunk's halo copy
+    L2 = L  # static upper bound on per-chunk stream span
+    nb2 = -(-(L2 + w - 1) // w) + 1
+    rows_p2 = nb2 * w
+    c_own = rank // L2
+    r_own = rank - c_own * L2
+    flat_sz = rows_p2 * _CHUNKS
+    idx_own = jnp.where(owned, r_own * _CHUNKS + c_own, flat_sz)
+    r_halo = r_own + L2
+    halo_ok = owned & (c_own > 0) & (r_halo < rows_p2)
+    idx_halo = jnp.where(halo_ok, r_halo * _CHUNKS + (c_own - 1), flat_sz)
+
+    def scatter2(vals, dtype, fill):
+        buf = jnp.full(flat_sz, fill, dtype)
+        buf = buf.at[idx_own.reshape(-1)].set(vals.reshape(-1), mode="drop")
+        return buf.at[idx_halo.reshape(-1)].set(vals.reshape(-1), mode="drop")
+
+    s_lo = scatter2(h_lo, _U32, _MAXU).reshape(rows_p2, _SUB, _LANE)
+    s_hi = scatter2(h_hi, _U32, _MAXU).reshape(rows_p2, _SUB, _LANE)
+    # genomic position by stream rank (for final emission mapping)
+    pos_of_rank = jnp.zeros(nk, _I32).at[
+        jnp.where(owned, rank, nk).reshape(-1)
+    ].set(gpos.reshape(-1), mode="drop")
+
+    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(
+        s_lo.transpose(1, 0, 2),
+        s_hi.transpose(1, 0, 2),
+        jnp.full((1,), L2, _I32),
+        w,
+        interpret=interpret,
+    )
+    w_lo = w_lo.transpose(1, 0, 2)
+    w_hi = w_hi.transpose(1, 0, 2)
+    w_ix = w_ix.transpose(1, 0, 2)
+    rows_out = w_ix.shape[0]
+
+    row_io = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 0)
+    )
+    chunk_io = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 1) * _LANE
+        + jax.lax.broadcasted_iota(_I32, (rows_out, _SUB, _LANE), 2)
+    )
+    g_window = chunk_io * L2 + row_io
+    own_win = (row_io < L2) & (g_window < (stream_count - w + 1))
+    prev_ix = jnp.concatenate(
+        [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
+    )
+    emit = own_win & ((row_io == 0) | (w_ix != prev_ix))
+
+    within_e = jnp.cumsum(emit.astype(_I32), axis=0)
+    per_lane_e = within_e[-1]
+    offs_e = jnp.concatenate(
+        [jnp.zeros(1, _I32), jnp.cumsum(per_lane_e.reshape(-1))[:-1]]
+    ).reshape(_SUB, _LANE)
+    dest = jnp.where(emit, offs_e[None] + within_e - 1, cap)
+    flat = dest.reshape(-1)
+    out_rank = jnp.zeros(cap, _I32).at[flat].set(w_ix.reshape(-1), mode="drop")
+    out_lo = jnp.zeros(cap, _U32).at[flat].set(w_lo.reshape(-1), mode="drop")
+    out_hi = jnp.zeros(cap, _U32).at[flat].set(w_hi.reshape(-1), mode="drop")
+    out_pos = pos_of_rank[jnp.clip(out_rank, 0, nk - 1)]
+    count = jnp.sum(emit.astype(_I32))
+    return out_pos, out_lo, out_hi, count, stream_count
+
+
 def sketch_codes_pallas(
     codes: np.ndarray, k: int, w: int, interpret: bool = False
 ) -> Sketch:
     """Minimizer sketch via the Pallas kernels (bit-identical to the oracle).
 
-    Handles N runs by compacting valid k-mers on host between the two
-    kernels (zero-cost for N-free sequences).  Small inputs fall back to the
-    oracle — the chunked layout needs enough rows per lane to amortise its
-    (w + k - 2)-row halo.
+    Device-resident end to end: the N-free fast path skips compaction; the
+    general path ranks and re-chunks the valid-k-mer stream on device.
+    Small inputs fall back to the host oracle — the chunked layout needs
+    enough rows per lane to amortise its (w + k - 2)-row halo.
     """
     from ntjoin_tpu.ops.nthash_np import sketch_codes
 
+    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     n = int(codes.shape[0])
     if k > n or w > n - k + 1:
-        return Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return empty
     nk = n - k + 1
     halo = w + k - 2
     L = -(-nk // _CHUNKS)  # positions owned per chunk
     if L < 4 * halo and not interpret:
         return sketch_codes(codes, k, w)
 
-    if True:
-        # fused device-resident fast path (exact when no N k-mers)
-        code_rows = _ceil_to(L + halo, _ROW_BLOCK)
-        buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
-        buf[:n] = codes
-        cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
-        pos, lo, hi, count, ok = _sketch_fused(
-            jnp.asarray(buf), n, k, w, cap, interpret=interpret
-        )
-        if bool(ok):
-            cnt = int(count)
-            if cnt <= cap:
-                pos = np.asarray(pos[:cnt]).astype(np.int64)
-                lo_np = np.asarray(lo[:cnt])
-                hi_np = np.asarray(hi[:cnt])
-                keep = np.empty(cnt, dtype=bool)
-                keep[0] = True
-                keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
-                sel = np.flatnonzero(keep)
-                canon = lo_np[sel].astype(np.uint64) | (
-                    hi_np[sel].astype(np.uint64) << np.uint64(32)
-                )
-                return Sketch(
-                    positions=pos[sel], hashes=derive_hash(canon, k)
-                )
-        # fall through: N-containing input (or cap overflow) -> host glue
-
-    # chunk layout: rows = codes for L owned positions + halo (one strided
-    # transpose, no python loop)
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
-    padded = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int32)
-    padded[:n] = codes
-    view = np.lib.stride_tricks.sliding_window_view(padded, code_rows)[:: L if L else 1]
-    x = np.ascontiguousarray(view[:_CHUNKS].T).reshape(code_rows, _SUB, _LANE)
-    x_lag = np.full_like(x, CODE_INVALID)
-    x_lag[k:] = x[:-k]
-
-    h_lo, h_hi, val = _hash_chunked(
-        jnp.asarray(x), jnp.asarray(x_lag), k, interpret=interpret
-    )
-    h_lo = np.asarray(h_lo).reshape(code_rows, _CHUNKS)
-    h_hi = np.asarray(h_hi).reshape(code_rows, _CHUNKS)
-    val = np.asarray(val).reshape(code_rows, _CHUNKS).astype(bool)
-
-    # shift: row r holds the kmer ending at r -> start index r-k+1
-    h_lo = h_lo[k - 1 :]
-    h_hi = h_hi[k - 1 :]
-    val = val[k - 1 :]
-    hash_rows = L + w - 1  # starts each chunk needs (owned + window halo)
-
-    # build the valid-kmer stream per chunk (positions ascending)
-    all_valid = val[:hash_rows].all()
-    nb = -(-hash_rows // w) + 1
-    rows_p = nb * w
-    s_lo = np.full((rows_p, _CHUNKS), 0xFFFFFFFF, dtype=np.uint32)
-    s_hi = np.full((rows_p, _CHUNKS), 0xFFFFFFFF, dtype=np.uint32)
-    if all_valid:
-        s_lo[:hash_rows] = h_lo[:hash_rows]
-        s_hi[:hash_rows] = h_hi[:hash_rows]
-        base = np.arange(hash_rows, dtype=np.int64)[:, None] + (
-            np.arange(_CHUNKS, dtype=np.int64)[None, :] * L
+    buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
+    buf[:n] = codes
+    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+    dev = jnp.asarray(buf)
+    pos, lo, hi, count, ok = _sketch_fused(dev, n, k, w, cap, interpret=interpret)
+    if not bool(ok):
+        # N-containing record: device-side stream compaction path
+        pos, lo, hi, count, stream_count = _sketch_fused_general(
+            dev, n, k, w, cap, interpret=interpret
         )
-        oob = base >= nk
-        s_lo[:hash_rows][oob] = 0xFFFFFFFF
-        s_hi[:hash_rows][oob] = 0xFFFFFFFF
-        stream_count = nk
-    else:
-        # global compaction: windows slide over valid kmers only
-        gpos, glo, ghi = _compact_valid(h_lo, h_hi, val, L, nk)
-        stream_count = gpos.shape[0]
-        if stream_count < w:
-            return Sketch(
-                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-            )
-        L2 = -(-stream_count // _CHUNKS)
-        need = L2 + w - 1
-        nb = -(-need // w) + 1
-        rows_p = nb * w
-        s_lo = _rechunk(glo, L2, need, rows_p, np.uint32(0xFFFFFFFF))
-        s_hi = _rechunk(ghi, L2, need, rows_p, np.uint32(0xFFFFFFFF))
-        L = L2
-
-    # group-major (GROUPS, rows, LANE) layout for the window kernel
-    gm_lo = np.ascontiguousarray(s_lo.reshape(rows_p, _SUB, _LANE).transpose(1, 0, 2))
-    gm_hi = np.ascontiguousarray(s_hi.reshape(rows_p, _SUB, _LANE).transpose(1, 0, 2))
-    w_lo, w_hi, w_ix = _window_chunked(
-        jnp.asarray(gm_lo),
-        jnp.asarray(gm_hi),
-        jnp.asarray(np.array([L], dtype=np.int32)),
-        w,
-        interpret=interpret,
-    )
-    # back to (rows, CHUNKS): chunk c = sublane*LANE + lane
-    w_lo = np.asarray(w_lo)
-    w_hi = np.asarray(w_hi)
-    w_ix = np.asarray(w_ix)
-
-    # stitch chunks into global window order and dedupe emissions; the
-    # kernel already emits global stream indices
-    nw = stream_count - w + 1
-    arg = np.ascontiguousarray(w_ix[:, :L].transpose(0, 2, 1)).reshape(
-        _CHUNKS, -1
-    ).ravel()[:nw].astype(np.int64)
-    alo = np.ascontiguousarray(w_lo[:, :L].transpose(0, 2, 1)).reshape(
-        _CHUNKS, -1
-    ).ravel()[:nw]
-    ahi = np.ascontiguousarray(w_hi[:, :L].transpose(0, 2, 1)).reshape(
-        _CHUNKS, -1
-    ).ravel()[:nw]
-    keep = np.empty(nw, dtype=bool)
+        if int(stream_count) < w:
+            return empty
+    cnt = int(count)
+    if cnt > cap:  # pathological emission density; host oracle is exact
+        return sketch_codes(codes, k, w)
+    if cnt == 0:
+        return empty
+    pos = np.asarray(pos[:cnt]).astype(np.int64)
+    lo_np = np.asarray(lo[:cnt])
+    hi_np = np.asarray(hi[:cnt])
+    keep = np.empty(cnt, dtype=bool)
     keep[0] = True
-    keep[1:] = arg[1:] != arg[:-1]
+    keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
     sel = np.flatnonzero(keep)
-    canon = alo[sel].astype(np.uint64) | (ahi[sel].astype(np.uint64) << np.uint64(32))
-    stream_idx = arg[sel]
-    if all_valid:
-        positions = stream_idx
-    else:
-        positions = gpos[stream_idx]
-    return Sketch(positions=positions.astype(np.int64), hashes=derive_hash(canon, k))
+    canon = lo_np[sel].astype(np.uint64) | (
+        hi_np[sel].astype(np.uint64) << np.uint64(32)
+    )
+    return Sketch(positions=pos[sel], hashes=derive_hash(canon, k))
 
 
-def _rechunk(stream, L2, need, rows_p, fill):
-    """Re-lay a 1-D stream into overlapping per-chunk columns (strided)."""
-    out_len = _CHUNKS * L2 + rows_p
-    padded = np.full(out_len, fill, dtype=stream.dtype)
-    padded[: stream.shape[0]] = stream
-    view = np.lib.stride_tricks.sliding_window_view(padded, rows_p)[:: L2 if L2 else 1]
-    return np.ascontiguousarray(view[:_CHUNKS].T)
-
-
-def _compact_valid(h_lo, h_hi, val, L, nk):
-    """Flatten the chunked hash arrays back to the global valid-kmer stream."""
-    glo = np.ascontiguousarray(h_lo[:L].T).ravel()[:nk]
-    ghi = np.ascontiguousarray(h_hi[:L].T).ravel()[:nk]
-    gval = np.ascontiguousarray(val[:L].T).ravel()[:nk]
-    gpos = np.flatnonzero(gval)
-    return gpos, glo[gpos], ghi[gpos]
