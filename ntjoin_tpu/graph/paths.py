@@ -168,6 +168,8 @@ def find_paths(
     nondeterministic (``ntjoin_utils.py:94,121``).
     """
     weights = np.array([a.weight for a in shared.assemblies])
+    if graph.num_nodes == 0:
+        return [], 0
     comp = graph.components()
     ncomp = int(comp.max()) + 1 if comp.size else 0
 

@@ -79,27 +79,28 @@ def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
     u = node_ids[:-1]
     v = node_ids[1:]
     same = (ctg_ids[1:] == ctg_ids[:-1]) & (asm_ids[1:] == asm_ids[:-1])
-    lo = jnp.minimum(u, v).astype(jnp.int64)
-    hi = jnp.maximum(u, v).astype(jnp.int64)
-    sentinel = jnp.int64(num_nodes) * num_nodes
-    key = jnp.where(same, lo * num_nodes + hi, sentinel)
-    order = jnp.argsort(key, stable=True)
-    k_s = key[order]
+    # no 64-bit composite keys (TPU path runs without x64): sort the pair
+    # lexicographically with a sentinel column pushing dead slots last
+    lo = jnp.where(same, jnp.minimum(u, v), num_nodes).astype(jnp.int32)
+    hi = jnp.where(same, jnp.maximum(u, v), num_nodes).astype(jnp.int32)
+    order = jnp.lexsort((hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
     a_s = asm_ids[:-1][order]
-    alive = k_s < sentinel
-    new_group = jnp.concatenate([jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
+    alive = lo_s < num_nodes
+    new_group = jnp.concatenate(
+        [jnp.ones(1, bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
+    )
     seg = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # group id per element
-    nseg = k_s.shape[0]
+    nseg = lo_s.shape[0]
     w = jnp.asarray(weights)[a_s]
     weight = jnp.zeros(nseg, w.dtype).at[seg].add(jnp.where(alive, w, 0.0))
-    support = jnp.zeros(nseg, jnp.int64).at[seg].add(
-        jnp.where(alive, jnp.int64(1) << a_s.astype(jnp.int64), 0)
+    # support bitmask (device path caps at 32 assemblies; host path has none)
+    support = jnp.zeros(nseg, jnp.uint32).at[seg].add(
+        jnp.where(alive, jnp.uint32(1) << a_s.astype(jnp.uint32), jnp.uint32(0))
     )
-    # one representative key per group id (all elements of a group share it)
-    key_first = jnp.zeros(nseg, jnp.int64).at[seg].max(
-        jnp.where(alive, k_s, 0)
-    )
-    valid = key_first > 0  # key 0 impossible: lo < hi always
-    g_lo = (key_first // num_nodes).astype(jnp.int32)
-    g_hi = (key_first % num_nodes).astype(jnp.int32)
+    # representative pair per group id (all elements of a group share it)
+    g_lo = jnp.full(nseg, num_nodes, jnp.int32).at[seg].min(lo_s)
+    g_hi = jnp.full(nseg, num_nodes, jnp.int32).at[seg].min(hi_s)
+    ngroups = seg[-1] + 1
+    valid = (jnp.arange(nseg) < ngroups) & (g_lo < num_nodes)
     return g_lo, g_hi, weight, support, valid

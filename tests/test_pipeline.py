@@ -291,3 +291,17 @@ def test_target_weight(workdir):
         "overlap=False",
     )
     assert paths == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_no_shared_minimizers(workdir, tmp_path):
+    """Unrelated reference: nothing scaffolds, everything lands unassigned."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=5000))
+    (workdir / "unrelated.fa").write_text(f">u\n{seq}\n")
+    paths = run_pair(workdir, "unrelated.fa", "scaf.f-f.fa", "none_test",
+                     overlap="False")
+    assert paths == []
+    unassigned = (workdir / "scaf.f-f.fa.k32.w1000.n2.unassigned.scaffolds.fa").read_text()
+    assert ">1_f:0-1981" in unassigned and ">2_f:0-2329" in unassigned
