@@ -599,6 +599,17 @@ def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
     return out_pos, out_lo, out_hi, count, stream_count
 
 
+def _host_sketch(codes: np.ndarray, k: int, w: int) -> Sketch:
+    """Fast host path for records below the device threshold."""
+    from ntjoin_tpu.io.native import available, sketch_codes_native
+
+    if available():
+        return sketch_codes_native(codes, k, w)
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+
+    return sketch_codes(codes, k, w)
+
+
 def sketch_codes_pallas(
     codes: np.ndarray, k: int, w: int, interpret: bool = False
 ) -> Sketch:
@@ -609,8 +620,6 @@ def sketch_codes_pallas(
     Small inputs fall back to the host oracle — the chunked layout needs
     enough rows per lane to amortise its (w + k - 2)-row halo.
     """
-    from ntjoin_tpu.ops.nthash_np import sketch_codes
-
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     n = int(codes.shape[0])
     if k > n or w > n - k + 1:
@@ -619,7 +628,7 @@ def sketch_codes_pallas(
     halo = w + k - 2
     L = -(-nk // _CHUNKS)  # positions owned per chunk
     if L < 4 * halo and not interpret:
-        return sketch_codes(codes, k, w)
+        return _host_sketch(codes, k, w)
 
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
@@ -635,8 +644,8 @@ def sketch_codes_pallas(
         if int(stream_count) < w:
             return empty
     cnt = int(count)
-    if cnt > cap:  # pathological emission density; host oracle is exact
-        return sketch_codes(codes, k, w)
+    if cnt > cap:  # pathological emission density; the host path is exact
+        return _host_sketch(codes, k, w)
     if cnt == 0:
         return empty
     pos = np.asarray(pos[:cnt]).astype(np.int64)
