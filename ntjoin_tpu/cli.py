@@ -129,7 +129,20 @@ def _ensure_sketch(
         return tsv, None
     with timers.stage(f"sketch:{os.path.basename(fasta)}"):
         records = read_fasta(fasta)
-        sketches = [backend(rec.codes, k, w) for rec in records]
+        try:
+            from ntjoin_tpu.ops.sketch_pallas import (
+                sketch_codes_pallas,
+                sketch_records_pallas,
+            )
+
+            batched = backend is sketch_codes_pallas
+        except Exception:  # pragma: no cover
+            batched = False
+        if batched:
+            # one device program for the whole assembly
+            sketches = sketch_records_pallas([r.codes for r in records], k, w)
+        else:
+            sketches = [backend(rec.codes, k, w) for rec in records]
         write_minimizer_tsv(tsv, records, sketches, k)
         if not os.path.exists(fasta + ".fai") or force:
             write_fai(fasta)

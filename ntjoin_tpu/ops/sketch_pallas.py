@@ -480,8 +480,11 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     return out_pos, out_lo, out_hi, count, ok
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap", "interpret"))
-def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret")
+)
+def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
+                          cap: int, multi: bool = False,
                           interpret: bool = False):
     """Fused sketch with device-resident valid-k-mer compaction (N-safe).
 
@@ -491,6 +494,12 @@ def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
     the compacted stream — windows slide over valid k-mers exactly like the
     oracle.  Returns (pos, lo, hi, count): emissions in stream order with
     chunk-seam duplicates still present.
+
+    With ``multi=True``, ``offsets`` holds each record's start in the flat
+    concatenation (records separated by k-1 invalid bases): per-record
+    stream boundaries are derived on device and windows crossing a record
+    boundary are masked, so one device call sketches a whole multi-record
+    assembly with exact per-record semantics.
     """
     nk = n - k + 1
     halo = w + k - 2
@@ -525,6 +534,16 @@ def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
     )
     gpos = chunk_iota * L + row_iota
     owned = (val == 1) & (gpos < nk)
+    if multi:
+        nrec = offsets.shape[0]
+        rec_of_pos = jnp.clip(
+            jnp.searchsorted(offsets, gpos, side="right") - 1, 0, nrec - 1
+        )
+        rec_counts = jnp.zeros(nrec, _I32).at[
+            jnp.where(owned, rec_of_pos, nrec).reshape(-1)
+        ].add(1, mode="drop")
+        # stream boundaries: segment r = [bounds[r], bounds[r+1])
+        bounds = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(rec_counts)])
 
     within = jnp.cumsum(owned.astype(_I32), axis=0)
     per_lane = within[-1]  # (SUB, LANE), lane order == chunk order
@@ -579,10 +598,22 @@ def _sketch_fused_general(codes_padded, n: int, k: int, w: int, cap: int,
     )
     g_window = chunk_io * L2 + row_io
     own_win = (row_io < L2) & (g_window < (stream_count - w + 1))
+    first_win = row_io == 0  # chunk seams: host dedupes the duplicate
+    if multi:
+        # window [s, s+w) must lie inside one record's stream segment
+        rec_of_win = jnp.clip(
+            jnp.searchsorted(bounds, g_window, side="right") - 1,
+            0, offsets.shape[0] - 1,
+        )
+        own_win &= (g_window + w) <= bounds[rec_of_win + 1]
+        # each record's first real window always emits (the preceding
+        # stream windows are masked cross-record ones whose argmin may
+        # alias it and poison the change-detection chain)
+        first_win |= g_window == bounds[rec_of_win]
     prev_ix = jnp.concatenate(
         [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
     )
-    emit = own_win & ((row_io == 0) | (w_ix != prev_ix))
+    emit = own_win & (first_win | (w_ix != prev_ix))
 
     within_e = jnp.cumsum(emit.astype(_I32), axis=0)
     per_lane_e = within_e[-1]
@@ -639,7 +670,7 @@ def sketch_codes_pallas(
     if not bool(ok):
         # N-containing record: device-side stream compaction path
         pos, lo, hi, count, stream_count = _sketch_fused_general(
-            dev, n, k, w, cap, interpret=interpret
+            dev, jnp.zeros(1, jnp.int32), n, k, w, cap, interpret=interpret
         )
         if int(stream_count) < w:
             return empty
@@ -661,3 +692,75 @@ def sketch_codes_pallas(
     return Sketch(positions=pos[sel], hashes=derive_hash(canon, k))
 
 
+
+
+def sketch_records_pallas(
+    codes_list: list[np.ndarray], k: int, w: int, interpret: bool = False
+) -> list[Sketch]:
+    """Batched device sketch of a whole multi-record assembly.
+
+    Records are concatenated with k-1 invalid separator bases (no k-mer
+    spans two records) and sketched in ONE device program; per-record
+    window semantics are enforced by on-device stream-boundary masking.
+    Small batches fall back to the per-record host path.
+    """
+    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    sep = k - 1
+    total = sum(int(c.shape[0]) + sep for c in codes_list)
+    nk = max(total - k + 1, 0)
+    halo = w + k - 2
+    L = -(-max(nk, 1) // _CHUNKS)
+    if L < 4 * halo and not interpret:
+        return [_host_sketch(c, k, w) for c in codes_list]
+
+    offsets = np.zeros(len(codes_list), dtype=np.int32)
+    flat = np.full(total, CODE_INVALID, dtype=np.int8)
+    cursor = 0
+    for r, c in enumerate(codes_list):
+        offsets[r] = cursor
+        flat[cursor : cursor + c.shape[0]] = c
+        cursor += c.shape[0] + sep
+
+    # pad the offsets array to a bucket size so R doesn't force recompiles;
+    # trailing dummy records start at the flat end (empty stream segments)
+    n_rec = len(codes_list)
+    r_bucket = 8
+    while r_bucket < n_rec:
+        r_bucket *= 2
+    offsets_p = np.full(r_bucket, total, dtype=np.int32)
+    offsets_p[:n_rec] = offsets
+
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
+    buf[:total] = flat
+    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS + 2 * r_bucket
+    pos, lo, hi, count, _ = _sketch_fused_general(
+        jnp.asarray(buf), jnp.asarray(offsets_p), total, k, w, cap,
+        multi=True, interpret=interpret,
+    )
+    cnt = int(count)
+    if cnt > cap:
+        return [_host_sketch(c, k, w) for c in codes_list]
+    out: list[Sketch] = [empty] * n_rec
+    if cnt == 0:
+        return out
+    pos = np.asarray(pos[:cnt]).astype(np.int64)
+    lo_np = np.asarray(lo[:cnt])
+    hi_np = np.asarray(hi[:cnt])
+    keep = np.empty(cnt, dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
+    sel = np.flatnonzero(keep)
+    pos = pos[sel]
+    canon = lo_np[sel].astype(np.uint64) | (
+        hi_np[sel].astype(np.uint64) << np.uint64(32)
+    )
+    hashes = derive_hash(canon, k)
+    rec_of = np.searchsorted(offsets.astype(np.int64), pos, side="right") - 1
+    for r in range(n_rec):
+        m = rec_of == r
+        if m.any():
+            out[r] = Sketch(
+                positions=pos[m] - int(offsets[r]), hashes=hashes[m]
+            )
+    return out

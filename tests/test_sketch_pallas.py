@@ -60,3 +60,20 @@ def test_fused_pipeline_parity():
         got_pos = pos[np.flatnonzero(keep)]
         ref = sketch_codes(codes, k, w)
         assert got_pos.tolist() == ref.positions.tolist()
+
+
+def test_batched_records_parity():
+    """One device call over many records == per-record oracle sketches."""
+    from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+    rng = np.random.default_rng(33)
+    records = []
+    for ln in [5000, 120, 9000, 31, 4000, 2500]:  # incl. sub-k and sub-w recs
+        codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+        records.append(codes)
+    records[0][100:160] = 4  # N run inside one record
+    got = sketch_records_pallas(records, 15, 10, interpret=True)
+    for codes, sk in zip(records, got):
+        ref = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == ref.positions.tolist()
+        assert sk.hashes.tolist() == ref.hashes.tolist()
