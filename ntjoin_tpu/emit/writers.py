@@ -87,29 +87,31 @@ def write_dot(out_path: str, graph, shared) -> None:
     colours = _DOT_COLOURS
     if len(assemblies) > len(colours):
         colours = ["red"] * len(assemblies)
+    names = [str(h) for h in shared.node_hash.tolist()]
+    chunks: list[str] = ["graph G {\n"]
+    for node_id in range(shared.num_nodes):
+        name = names[node_id]
+        labels = "\n".join(
+            f"{asm.name}_"
+            f"{(asm.contig_names[int(shared.ctg[a, node_id])], int(shared.pos[a, node_id]))}"
+            for a, asm in enumerate(assemblies)
+        )
+        chunks.append(f'"{name}" [label="{name}\n{labels}"]\n')
+    for eid in np.flatnonzero(graph.alive):
+        s = names[int(graph.src[eid])]
+        t = names[int(graph.dst[eid])]
+        mask = int(graph.support_mask[eid])
+        support = [i for i in range(len(assemblies)) if mask & (1 << i)]
+        if len(support) == 1:
+            colour = colours[support[0]]
+        elif len(support) == 2:
+            colour = "lightgrey"
+        else:
+            colour = "black"
+        chunks.append(f'"{s}" --"{t}" [weight={graph.weight[eid]} color={colour}]\n')
+    chunks.append("}\n")
     with open(out_path, "w", encoding="utf-8") as out:
-        out.write("graph G {\n")
-        for node_id in range(shared.num_nodes):
-            name = shared.hash_str(node_id)
-            labels = "\n".join(
-                f"{asm.name}_"
-                f"{(asm.contig_names[int(shared.ctg[a, node_id])], int(shared.pos[a, node_id]))}"
-                for a, asm in enumerate(assemblies)
-            )
-            out.write(f'"{name}" [label="{name}\n{labels}"]\n')
-        for eid in np.flatnonzero(graph.alive):
-            s = shared.hash_str(int(graph.src[eid]))
-            t = shared.hash_str(int(graph.dst[eid]))
-            mask = int(graph.support_mask[eid])
-            support = [i for i in range(len(assemblies)) if mask & (1 << i)]
-            if len(support) == 1:
-                colour = colours[support[0]]
-            elif len(support) == 2:
-                colour = "lightgrey"
-            else:
-                colour = "black"
-            out.write(f'"{s}" --"{t}" [weight={graph.weight[eid]} color={colour}]\n')
-        out.write("}\n")
+        out.write("".join(chunks))
 
 
 def write_minimizer_tsv(
