@@ -107,9 +107,17 @@ class Scaffolder:
         self.shared = SharedIndex(assemblies)
 
         self._log("Generating minimizer graph")
+        weight_str = "\n".join(f"{a.name}: {a.weight}" for a in assemblies)
+        if cfg.verbose:
+            print(f"\nWeights of assemblies:\n{weight_str}\n", flush=True)
         self.graph = build_graph(self.shared)
         if cfg.write_dot:
+            self._log("Printing graph", cfg.prefix + ".mx.dot")
             write_dot(cfg.prefix + ".mx.dot", self.graph, self.shared)
+            if cfg.verbose:
+                from ntjoin_tpu.emit.writers import dot_colour_legend
+
+                print(dot_colour_legend(assemblies), flush=True)
 
         self._log("Filtering the graph")
         min_weight = min(a.weight for a in assemblies)

@@ -114,6 +114,18 @@ def write_dot(out_path: str, graph, shared) -> None:
         out.write("".join(chunks))
 
 
+def dot_colour_legend(assemblies) -> str:
+    """Per-assembly colour legend echoed after the DOT dump (ref ntjoin.py:64-67)."""
+    colours = _DOT_COLOURS
+    if len(assemblies) > len(colours):
+        colours = ["red"] * len(assemblies)
+    lines = ["\nfile_name\tnumber\tcolour"]
+    for i, asm in enumerate(assemblies):
+        lines.append(f"{asm.name}\t{i}\t{colours[i]}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 def write_minimizer_tsv(
     out_path: str, records, sketches: list, k: int, with_seq: bool = True
 ) -> None:

@@ -305,3 +305,17 @@ def test_no_shared_minimizers(workdir, tmp_path):
     assert paths == []
     unassigned = (workdir / "scaf.f-f.fa.k32.w1000.n2.unassigned.scaffolds.fa").read_text()
     assert ">1_f:0-1981" in unassigned and ">2_f:0-2329" in unassigned
+
+
+def test_backend_jax_e2e(workdir):
+    """One full pipeline run through the JAX sketch backend (CPU)."""
+    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+           "backend=jax", "target=scaf.f-f.fa", "target_weight=1",
+           "references=ref.fa", "reference_weights=2", "prefix=jaxbe",
+           "k=32", "w=1000", "n=2", "overlap=False"]
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    lines = [ln.strip() for ln in (workdir / "jaxbe.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
