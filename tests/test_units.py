@@ -195,3 +195,32 @@ def test_many_contigs_overlap_e2e(tmp_path):
     # all 12 pieces joined in order
     assert lines[0].count("piece") == 12
     assert (tmp_path / "target.fa.k32.w250.n2.all.scaffolds.fa").exists()
+
+
+def test_mann_kendall_batch_matches_scalar():
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.ops.mannkendall import mann_kendall_batch
+
+    rows = [
+        [12, 15, 14, 18, 21, 19, 25, 28, 26, 30, 33, 31],
+        [31, 33, 30, 26, 28, 25, 19, 21, 18, 14, 15, 12],
+        [5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5],
+        [1, 9, 2, 8, 3, 7, 4, 6, 5, 5, 6, 4],
+    ]
+    L = 12
+    pos = jnp.asarray(np.array(rows, dtype=np.int32))
+    lengths = jnp.asarray(np.full(len(rows), L, dtype=np.int32))
+    trend, h, p, z = mann_kendall_batch(pos, lengths)
+    for i, row in enumerate(rows):
+        t_ref, h_ref, p_ref, z_ref = mann_kendall(row)
+        assert bool(np.asarray(h)[i]) == h_ref
+        assert abs(float(np.asarray(p)[i]) - p_ref) < 1e-5
+        assert abs(float(np.asarray(z)[i]) - z_ref) < 1e-4
+        expect = {"increasing": 1, "decreasing": -1, "no trend": 0}[t_ref]
+        assert int(np.asarray(trend)[i]) == expect
+
+    # padding must not affect results
+    pos2 = jnp.pad(pos, ((0, 0), (0, 5)), constant_values=777)
+    trend2, h2, p2, _ = mann_kendall_batch(pos2, lengths)
+    assert np.allclose(np.asarray(p), np.asarray(p2))
