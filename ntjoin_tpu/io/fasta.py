@@ -50,7 +50,18 @@ def read_fasta(path: str) -> list[FastaRecord]:
 
     Record ids are the first whitespace-separated token of the header, the
     same convention btllib's SeqReader applies for the reference pipeline.
+    Uses the native C++ reader when built (an order of magnitude faster on
+    Gbp-scale inputs); this python loop is the portable fallback and the
+    gzip path.
     """
+    if not path.endswith(".gz"):
+        try:
+            from ntjoin_tpu.io.native import available, read_fasta_native
+
+            if available():
+                return read_fasta_native(path)
+        except Exception:  # pragma: no cover - fall back to python parsing
+            pass
     records: list[FastaRecord] = []
     name = None
     chunks: list[str] = []
