@@ -267,6 +267,28 @@ int64_t nj_sketch_mt(const uint8_t* codes, int64_t n, int k, int w,
   return count < cap ? count : cap;
 }
 
+// Walk a linear chain from `source`: n1/n2 are each node's (<=2) neighbour
+// ids (-1 when absent), e1/e2 the corresponding edge ids.  Writes the node
+// order and the edge id taken at each step; returns the walked length.
+int64_t nj_walk_chain(const int32_t* n1, const int32_t* n2,
+                      const int32_t* e1, const int32_t* e2,
+                      int64_t source, int64_t max_len,
+                      int32_t* out_nodes, int32_t* out_eids) {
+  int64_t prev = -1, cur = source, len = 0;
+  while (cur >= 0 && len < max_len) {
+    out_nodes[len] = (int32_t)cur;
+    int64_t a = n1[cur], b = n2[cur];
+    int64_t nxt, eid;
+    if (a != prev) { nxt = a; eid = e1[cur]; }
+    else { nxt = b; eid = e2[cur]; }
+    if (len + 1 < max_len && nxt >= 0) out_eids[len] = (int32_t)eid;
+    prev = cur;
+    cur = nxt;
+    ++len;
+  }
+  return len;
+}
+
 // ---- streaming FASTA parser ------------------------------------------------
 
 struct NjFasta {
@@ -316,6 +338,10 @@ int64_t nj_fasta_name(void* h, int64_t i, char* out, int64_t cap) {
   memcpy(out, s.data(), n);
   out[n] = 0;
   return (int64_t)s.size();
+}
+
+const char* nj_fasta_seq_ptr(void* h, int64_t i) {
+  return ((NjFasta*)h)->seqs[i].data();
 }
 
 void nj_fasta_seq(void* h, int64_t i, char* out) {

@@ -187,7 +187,11 @@ class SharedIndex:
         if ids.size == 0:
             return out
         poss = self.pos[target_idx, ids]
-        for c in np.unique(ctgs):
-            sel = poss[ctgs == c]
-            out[int(c)] = (int(sel.min()), int(sel.max()))
+        nc = int(ctgs.max()) + 1
+        mins = np.full(nc, np.iinfo(np.int64).max)
+        maxs = np.full(nc, -1)
+        np.minimum.at(mins, ctgs, poss)
+        np.maximum.at(maxs, ctgs, poss)
+        for c in np.flatnonzero(maxs >= 0):
+            out[int(c)] = (int(mins[c]), int(maxs[c]))
         return out

@@ -157,6 +157,60 @@ def _pick_endpoints(
     return source, target
 
 
+class ChainView:
+    """Gap-estimation view over a validated simple chain.
+
+    The walked order makes shortest paths trivial slices; matches the
+    ``SubGraphView`` surface used by ``PathBuilder._gap_size``.
+    """
+
+    def __init__(self, graph: MinimizerGraph, order_nodes, step_eids):
+        self.graph = graph
+        self.order = order_nodes
+        self.step_eids = step_eids
+        self._index: dict[int, int] | None = None
+
+    def shortest_path(self, s: int, t: int) -> list[int]:
+        if self._index is None:
+            self._index = {int(n): i for i, n in enumerate(self.order)}
+        i, j = self._index[s], self._index[t]
+        if i <= j:
+            return [int(n) for n in self.order[i : j + 1]]
+        return [int(n) for n in self.order[j : i + 1]][::-1]
+
+    def path_support_masks(self, path: list[int]) -> list[int]:
+        i = self._index[path[0]]
+        j = self._index[path[-1]]
+        lo, hi = (i, j) if i <= j else (j, i)
+        return [int(self.graph.support_mask[e]) for e in self.step_eids[lo:hi]]
+
+
+def _walk_chain(n1, n2, e1, e2, source: int, length: int):
+    """Chain walk via the native library, python fallback otherwise."""
+    out_nodes = np.empty(length, dtype=np.int32)
+    out_eids = np.empty(max(length - 1, 1), dtype=np.int32)
+    from ntjoin_tpu.io import native as native_lib
+
+    lib = native_lib._load()
+    if lib is not None:
+        got = lib.nj_walk_chain(
+            n1.ctypes.data, n2.ctypes.data, e1.ctypes.data, e2.ctypes.data,
+            source, length, out_nodes.ctypes.data, out_eids.ctypes.data,
+        )
+        return out_nodes[:got], out_eids[: max(got - 1, 0)]
+    prev, cur = -1, source
+    ln = 0
+    while cur >= 0 and ln < length:
+        out_nodes[ln] = cur
+        a, b = int(n1[cur]), int(n2[cur])
+        nxt, eid = (a, int(e1[cur])) if a != prev else (b, int(e2[cur]))
+        if ln + 1 < length and nxt >= 0:
+            out_eids[ln] = eid
+        prev, cur = cur, nxt
+        ln += 1
+    return out_nodes[:ln], out_eids[: max(ln - 1, 0)]
+
+
 def find_paths(
     graph: MinimizerGraph, shared: SharedIndex, n_min: float
 ) -> tuple[list[tuple[list[int], SubGraphView]], int]:
@@ -166,6 +220,10 @@ def find_paths(
     components by smallest member node id (node ids are hash-sorted), matching
     no particular reference order — the reference's own order is python-set
     nondeterministic (``ntjoin_utils.py:94,121``).
+
+    Simple chains (the overwhelmingly common case) are walked natively over
+    flat two-neighbour arrays; only branchy leftovers and circular
+    subcomponents build python adjacency views.
     """
     weights = np.array([a.weight for a in shared.assemblies])
     if graph.num_nodes == 0:
@@ -176,6 +234,8 @@ def find_paths(
     escalating_branch_filter(graph, comp, n_min, float(weights.sum()))
 
     sub = graph.components()
+    deg = graph.degrees()
+
     # node lists per subcomponent, ids ascending
     order = np.argsort(sub, kind="stable")
     sub_sorted = sub[order]
@@ -183,23 +243,70 @@ def find_paths(
         np.concatenate([[True], sub_sorted[1:] != sub_sorted[:-1]])
     )
     bounds = np.append(starts, sub_sorted.shape[0])
-    views: dict[int, SubGraphView] = {}
-    for si in range(starts.shape[0]):
-        members = order[bounds[si] : bounds[si + 1]]
-        label = int(sub_sorted[starts[si]])
-        views[label] = SubGraphView(graph, [int(m) for m in members])
-    for eid in np.flatnonzero(graph.alive):
-        views[int(sub[graph.src[eid]])].add_edge(int(eid))
+    label_of = {int(sub_sorted[starts[si]]): si for si in range(starts.shape[0])}
+
+    # per-subcomponent alive-edge lists (grouped once)
+    alive_e = np.flatnonzero(graph.alive)
+    esub = sub[graph.src[alive_e]]
+    eorder = np.argsort(esub, kind="stable")
+    e_sorted = alive_e[eorder]
+    esub_sorted = esub[eorder]
+    e_starts = np.searchsorted(esub_sorted, np.arange(int(sub.max()) + 1 if sub.size else 0))
+    e_bounds = np.append(e_starts, esub_sorted.shape[0])
+
+    # two-neighbour arrays in edge-id order (degrees <= 2 after filtering for
+    # chain nodes; higher-degree nodes keep only their first two slots and are
+    # never walked natively)
+    ends = np.concatenate([graph.src[alive_e], graph.dst[alive_e]])
+    other = np.concatenate([graph.dst[alive_e], graph.src[alive_e]])
+    eid2 = np.concatenate([alive_e, alive_e])
+    aorder = np.lexsort((eid2, ends))
+    ends_s, other_s, eid_s = ends[aorder], other[aorder], eid2[aorder]
+    same_prev = np.concatenate([[False], ends_s[1:] == ends_s[:-1]])
+    # position within each node's adjacency run (edge-id order within node)
+    run_start = np.flatnonzero(~same_prev)
+    run = np.arange(ends_s.shape[0]) - np.repeat(
+        run_start, np.diff(np.append(run_start, ends_s.shape[0]))
+    )
+    n1 = np.full(graph.num_nodes, -1, dtype=np.int32)
+    n2 = np.full(graph.num_nodes, -1, dtype=np.int32)
+    e1 = np.full(graph.num_nodes, -1, dtype=np.int32)
+    e2 = np.full(graph.num_nodes, -1, dtype=np.int32)
+    m0 = run == 0
+    m1 = run == 1
+    n1[ends_s[m0]] = other_s[m0]
+    e1[ends_s[m0]] = eid_s[m0]
+    n2[ends_s[m1]] = other_s[m1]
+    e2[ends_s[m1]] = eid_s[m1]
 
     # deterministic order: (parent component min node, subcomponent min node)
     labels = sorted(
-        views,
-        key=lambda lb: (int(comp[views[lb].nodes[0]]), views[lb].nodes[0]),
+        label_of,
+        key=lambda lb: (
+            int(comp[order[bounds[label_of[lb]]]]),
+            int(order[bounds[label_of[lb]]]),
+        ),
     )
 
     results: list[tuple[list[int], SubGraphView]] = []
     for lb in labels:
-        view = views[lb]
+        si = label_of[lb]
+        members = order[bounds[si] : bounds[si + 1]]
+        degs = deg[members]
+        d1 = members[degs == 1]
+        if d1.shape[0] == 2 and (degs <= 2).all():
+            # simple chain: native walk, no python adjacency
+            s, t = _pick_endpoints([int(x) for x in d1], shared, weights)
+            nodes_o, eids_o = _walk_chain(n1, n2, e1, e2, s, members.shape[0])
+            if nodes_o.shape[0] == members.shape[0] and int(nodes_o[-1]) == t:
+                view = ChainView(graph, nodes_o, eids_o)
+                results.append(([int(x) for x in nodes_o], view))
+            continue
+
+        # branchy leftovers / circular subcomponents: python view
+        view = SubGraphView(graph, [int(m) for m in members])
+        for eid in e_sorted[e_bounds[lb] : e_bounds[lb + 1]]:
+            view.add_edge(int(eid))
         sources = [n for n in view.nodes if view.degree(n) == 1]
         if not sources:
             sources = _break_circular(view, shared, weights)

@@ -68,8 +68,15 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
     ]
     lib.nj_fasta_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.nj_fasta_seq_ptr.restype = ctypes.c_void_p
+    lib.nj_fasta_seq_ptr.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.nj_fasta_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
     lib.nj_fasta_close.argtypes = [ctypes.c_void_p]
+    lib.nj_walk_chain.restype = ctypes.c_int64
+    lib.nj_walk_chain.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _LIB = lib
     return lib
 
@@ -120,9 +127,10 @@ def read_fasta_native(path: str):
         for i in range(lib.nj_fasta_count(h)):
             lib.nj_fasta_name(h, i, name_buf, 4096)
             n = lib.nj_fasta_len(h, i)
-            seq = ctypes.create_string_buffer(n)
-            lib.nj_fasta_seq(h, i, seq)
-            out.append(FastaRecord(name_buf.value.decode(), seq.raw.decode("ascii")))
+            # single copy via string_at; latin-1 decode is a memcpy for the
+            # byte-for-byte FASTA alphabet
+            raw = ctypes.string_at(lib.nj_fasta_seq_ptr(h, i), n)
+            out.append(FastaRecord(name_buf.value.decode(), raw.decode("latin-1")))
         return out
     finally:
         lib.nj_fasta_close(h)
