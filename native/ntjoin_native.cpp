@@ -230,7 +230,12 @@ int64_t nj_sketch_mt(const uint8_t* codes, int64_t n, int k, int w,
       int64_t base_lo = w_lo - lead;
       int64_t base_hi = w_hi - 1 + w + k - 1;  // last window's last base
       int64_t len = base_hi - base_lo;
-      int64_t local_cap = (w_hi - w_lo) + 2;
+      // expected emissions ~= 2*windows/w (each window moves the argmin with
+      // prob ~2/w); size for 4x that and grow geometrically on overflow
+      // rather than touching a windows-sized zeroed buffer up front.
+      int64_t local_cap = (w_hi - w_lo) / (w > 8 ? w / 8 : 1) + 64;
+      int64_t hard_cap = (w_hi - w_lo) + 2;
+      if (local_cap > hard_cap) local_cap = hard_cap;
       Part& part = parts[t];
       part.pos.resize((size_t)local_cap);
       part.hash.resize((size_t)local_cap);
@@ -287,6 +292,151 @@ int64_t nj_walk_chain(const int32_t* n1, const int32_t* n2,
     ++len;
   }
   return len;
+}
+
+// Write a samtools-faidx-format .fai index for a FASTA file.  Columns:
+// name, length, byte offset of first base, bases per line, bytes per line.
+// Returns the number of records indexed, or -1 on IO error.
+int64_t nj_write_fai(const char* path, const char* out_path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  FILE* out = fopen(out_path, "wb");
+  if (!out) { fclose(f); return -1; }
+  std::vector<char> buf((size_t)1 << 20);
+  std::string carry;
+  std::string name;
+  int64_t length = 0, offset = 0, linebases = 0, linewidth = 0;
+  bool have = false, first_line = true;
+  int64_t pos = 0, count = 0;
+  auto flush_record = [&]() {
+    if (have) {
+      fprintf(out, "%s\t%lld\t%lld\t%lld\t%lld\n", name.c_str(),
+              (long long)length, (long long)offset, (long long)linebases,
+              (long long)linewidth);
+      ++count;
+    }
+  };
+  auto handle_line = [&](const char* line, int64_t raw_len) {
+    // raw_len includes the newline if present
+    int64_t stripped = raw_len;
+    while (stripped > 0 &&
+           (line[stripped - 1] == '\n' || line[stripped - 1] == '\r'))
+      --stripped;
+    if (stripped > 0 && line[0] == '>') {
+      flush_record();
+      int64_t e = 1;
+      while (e < stripped && line[e] != ' ' && line[e] != '\t') ++e;
+      name.assign(line + 1, (size_t)(e - 1));
+      have = true;
+      length = 0;
+      offset = pos + raw_len;
+      first_line = true;
+    } else if (have && stripped > 0) {
+      if (first_line) {
+        linebases = stripped;
+        linewidth = raw_len;
+        first_line = false;
+      }
+      length += stripped;
+    }
+    pos += raw_len;
+  };
+  size_t got;
+  while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+    size_t start = 0;
+    for (size_t i = 0; i < got; ++i) {
+      if (buf[i] == '\n') {
+        if (!carry.empty()) {
+          carry.append(buf.data() + start, i - start + 1);
+          handle_line(carry.data(), (int64_t)carry.size());
+          carry.clear();
+        } else {
+          handle_line(buf.data() + start, (int64_t)(i - start + 1));
+        }
+        start = i + 1;
+      }
+    }
+    if (start < got) carry.append(buf.data() + start, got - start);
+  }
+  if (!carry.empty()) handle_line(carry.data(), (int64_t)carry.size());
+  flush_record();
+  fclose(f);
+  fclose(out);
+  return count;
+}
+
+// Minimizer-graph DOT dump (node labels + coloured edges).  All variable
+// text is passed in as python-prepared string tables so the formatting
+// contract (python float/str semantics) stays in one place; this function
+// only does the hot per-node/per-edge assembly and decimal conversion.
+//
+//   prefix_blob/prefix_off: per-(assembly,contig) label prefixes, flattened;
+//     assembly a's contig c uses entry prefix_base[a] + ctg[a*num_nodes+i].
+//   wblob/woff + widx: per-edge weight strings (unique-value table).
+//   cblob/coff + cidx: per-edge colour strings (unique-mask table).
+int64_t nj_write_dot(
+    const char* out_path, int64_t num_nodes, const uint64_t* node_hash,
+    int32_t n_asm, const char* prefix_blob, const int64_t* prefix_off,
+    const int64_t* prefix_base, const int32_t* ctg, const int64_t* pos,
+    int64_t n_edges, const int32_t* esrc, const int32_t* edst,
+    const int32_t* widx, const char* wblob, const int64_t* woff,
+    const int32_t* cidx, const char* cblob, const int64_t* coff) {
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -1;
+  std::string buf;
+  buf.reserve(1 << 22);
+  char tmp[24];
+  auto put_u64 = [&](uint64_t v) {
+    char* e = tmp + sizeof(tmp);
+    char* p = e;
+    do { *--p = (char)('0' + v % 10); v /= 10; } while (v);
+    buf.append(p, (size_t)(e - p));
+  };
+  auto put_i64 = [&](int64_t v) {
+    if (v < 0) { buf.push_back('-'); put_u64((uint64_t)(-v)); }
+    else put_u64((uint64_t)v);
+  };
+  auto flush_if_big = [&]() {
+    if (buf.size() > (3u << 20)) {
+      fwrite(buf.data(), 1, buf.size(), out);
+      buf.clear();
+    }
+  };
+  buf.append("graph G {\n");
+  for (int64_t i = 0; i < num_nodes; ++i) {
+    buf.push_back('"');
+    put_u64(node_hash[i]);
+    buf.append("\" [label=\"");
+    put_u64(node_hash[i]);
+    for (int32_t a = 0; a < n_asm; ++a) {
+      buf.push_back('\n');
+      int64_t pi = prefix_base[a] + ctg[(int64_t)a * num_nodes + i];
+      buf.append(prefix_blob + prefix_off[pi],
+                 (size_t)(prefix_off[pi + 1] - prefix_off[pi]));
+      put_i64(pos[(int64_t)a * num_nodes + i]);
+      buf.push_back(')');
+    }
+    buf.append("\"]\n");
+    flush_if_big();
+  }
+  for (int64_t e = 0; e < n_edges; ++e) {
+    buf.push_back('"');
+    put_u64(node_hash[esrc[e]]);
+    buf.append("\" --\"");
+    put_u64(node_hash[edst[e]]);
+    buf.append("\" [weight=");
+    int64_t wi = widx[e];
+    buf.append(wblob + woff[wi], (size_t)(woff[wi + 1] - woff[wi]));
+    buf.append(" color=");
+    int64_t ci = cidx[e];
+    buf.append(cblob + coff[ci], (size_t)(coff[ci + 1] - coff[ci]));
+    buf.append("]\n");
+    flush_if_big();
+  }
+  buf.append("}\n");
+  fwrite(buf.data(), 1, buf.size(), out);
+  fclose(out);
+  return num_nodes + n_edges;
 }
 
 // ---- streaming FASTA parser ------------------------------------------------

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 from ntjoin_tpu.core.assembly import AssemblySketch
 from ntjoin_tpu.core.config import ScaffoldConfig
@@ -67,11 +68,27 @@ def _truthy(val: str) -> bool:
     return val.strip().lower() in ("true", "1", "yes")
 
 
+_PROBE_TTL_S = 600.0
+
+
 def _device_healthy(timeout: float = 45.0) -> bool:
     """Probe accelerator health in a throwaway subprocess (init can hang
-    when the tunnel is down — see CLAUDE.md)."""
-    import subprocess
+    when the tunnel is down — see CLAUDE.md).
 
+    The verdict is cached on disk for ``_PROBE_TTL_S`` so repeated CLI runs
+    against a dead tunnel don't each pay the full probe timeout.
+    """
+    import subprocess
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "ntjoin_tpu_device_probe")
+    try:
+        with open(cache, "r", encoding="utf-8") as fh:
+            ts, verdict = fh.read().split()
+        if time.time() - float(ts) < _PROBE_TTL_S:
+            return verdict == "ok"
+    except (OSError, ValueError):
+        pass
     try:
         res = subprocess.run(
             [sys.executable, "-c",
@@ -79,9 +96,15 @@ def _device_healthy(timeout: float = 45.0) -> bool:
              "assert float(jnp.ones(8).sum()) == 8.0\nprint('OK')"],
             capture_output=True, text=True, timeout=timeout,
         )
-        return "OK" in res.stdout
+        healthy = "OK" in res.stdout
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        healthy = False
+    try:
+        with open(cache, "w", encoding="utf-8") as fh:
+            fh.write(f"{time.time()} {'ok' if healthy else 'bad'}")
+    except OSError:
+        pass
+    return healthy
 
 
 def _sketch_backend(name: str):

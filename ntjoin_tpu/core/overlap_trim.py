@@ -22,7 +22,7 @@ from collections import deque
 from dataclasses import dataclass
 
 from ntjoin_tpu.core.pathnode import PathNode
-from ntjoin_tpu.ops.nthash_np import sketch_seq
+from ntjoin_tpu.io.native import sketch_seq_host as sketch_seq
 
 
 def valid_mask_coords(nodes: list[PathNode], k: int, w: int) -> list[tuple[int, int]]:

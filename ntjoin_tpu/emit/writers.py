@@ -81,37 +81,127 @@ def write_dot(out_path: str, graph, shared) -> None:
 
     Node section is emitted in hash order (the reference's order is python-set
     nondeterministic); the edge section follows first-seen insertion order
-    like the reference.
+    like the reference.  Fully vectorized (numpy string kernels): at 1 Gbp
+    scale the graph has millions of nodes and a per-node python loop
+    dominated the whole scaffold stage.
     """
     assemblies = shared.assemblies
     colours = _DOT_COLOURS
     if len(assemblies) > len(colours):
         colours = ["red"] * len(assemblies)
-    names = [str(h) for h in shared.node_hash.tolist()]
-    chunks: list[str] = ["graph G {\n"]
-    for node_id in range(shared.num_nodes):
-        name = names[node_id]
-        labels = "\n".join(
-            f"{asm.name}_"
-            f"{(asm.contig_names[int(shared.ctg[a, node_id])], int(shared.pos[a, node_id]))}"
-            for a, asm in enumerate(assemblies)
+
+    if shared.num_nodes == 0:
+        with open(out_path, "w", encoding="utf-8") as out:
+            out.write("graph G {\n}\n")
+        return
+
+    if _write_dot_native(out_path, graph, shared, colours):
+        return
+
+    add = np.char.add
+    names = shared.node_hash.astype("U20")
+
+    # node label block: per assembly `NAME_('ctg', pos)` (repr of the tuple,
+    # same text as the reference's f"{...}_{(ctg, pos)}" for quote-free names)
+    labels = None
+    for a, asm in enumerate(assemblies):
+        prefixes = np.array(
+            [f"{asm.name}_({cn!r}, " for cn in asm.contig_names], dtype="U"
         )
-        chunks.append(f'"{name}" [label="{name}\n{labels}"]\n')
-    for eid in np.flatnonzero(graph.alive):
-        s = names[int(graph.src[eid])]
-        t = names[int(graph.dst[eid])]
-        mask = int(graph.support_mask[eid])
+        piece = add(add(prefixes[shared.ctg[a]], shared.pos[a].astype("U20")), ")")
+        labels = piece if labels is None else add(add(labels, "\n"), piece)
+    node_lines = add(
+        add(add(add(add('"', names), '" [label="'), add(names, "\n")), labels),
+        '"]\n',
+    )
+
+    alive = np.flatnonzero(graph.alive)
+    s = names[graph.src[alive]]
+    t = names[graph.dst[alive]]
+    uniq_w, w_inv = np.unique(graph.weight[alive], return_inverse=True)
+    w_str = np.array([str(x) for x in uniq_w.tolist()], dtype="U")[w_inv]
+    uniq_m, m_inv = np.unique(graph.support_mask[alive], return_inverse=True)
+
+    def mask_colour(mask: int) -> str:
         support = [i for i in range(len(assemblies)) if mask & (1 << i)]
         if len(support) == 1:
-            colour = colours[support[0]]
-        elif len(support) == 2:
-            colour = "lightgrey"
-        else:
-            colour = "black"
-        chunks.append(f'"{s}" --"{t}" [weight={graph.weight[eid]} color={colour}]\n')
-    chunks.append("}\n")
+            return colours[support[0]]
+        if len(support) == 2:
+            return "lightgrey"
+        return "black"
+
+    c_str = np.array([mask_colour(int(m)) for m in uniq_m], dtype="U")[m_inv]
+    edge_lines = add(
+        add(add(add('"', s), '" --"'), add(t, '" [weight=')),
+        add(add(w_str, " color="), add(c_str, "]\n")),
+    )
+
     with open(out_path, "w", encoding="utf-8") as out:
-        out.write("".join(chunks))
+        out.write("graph G {\n")
+        out.write("".join(node_lines.tolist()))
+        out.write("".join(edge_lines.tolist()))
+        out.write("}\n")
+
+
+def _blob(strings: list[str]) -> tuple[bytes, np.ndarray]:
+    """Concatenate strings into (utf-8 blob, int64 offsets of len n+1)."""
+    enc = [s.encode("utf-8") for s in strings]
+    off = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in enc], out=off[1:])
+    return b"".join(enc), off
+
+
+def _write_dot_native(out_path: str, graph, shared, colours) -> bool:
+    """Emit the DOT via the C++ writer; False when the library is absent.
+
+    Python prepares all variable text (label prefixes, python-float weight
+    strings, colour names) as unique-value tables so the byte format is
+    decided here; C++ only assembles and converts decimals.
+    """
+    from ntjoin_tpu.io import native as _native
+
+    lib = _native._load()
+    if lib is None:
+        return False
+    assemblies = shared.assemblies
+    prefixes: list[str] = []
+    base = np.zeros(len(assemblies), dtype=np.int64)
+    for a, asm in enumerate(assemblies):
+        base[a] = len(prefixes)
+        prefixes.extend(f"{asm.name}_({cn!r}, " for cn in asm.contig_names)
+    p_blob, p_off = _blob(prefixes)
+
+    alive = np.flatnonzero(graph.alive)
+    uniq_w, w_inv = np.unique(graph.weight[alive], return_inverse=True)
+    w_blob, w_off = _blob([str(x) for x in uniq_w.tolist()])
+    uniq_m, m_inv = np.unique(graph.support_mask[alive], return_inverse=True)
+
+    def mask_colour(mask: int) -> str:
+        support = [i for i in range(len(assemblies)) if mask & (1 << i)]
+        if len(support) == 1:
+            return colours[support[0]]
+        if len(support) == 2:
+            return "lightgrey"
+        return "black"
+
+    c_blob, c_off = _blob([mask_colour(int(m)) for m in uniq_m])
+
+    node_hash = np.ascontiguousarray(shared.node_hash, dtype=np.uint64)
+    ctg = np.ascontiguousarray(shared.ctg, dtype=np.int32)
+    pos = np.ascontiguousarray(shared.pos, dtype=np.int64)
+    src = np.ascontiguousarray(graph.src[alive], dtype=np.int32)
+    dst = np.ascontiguousarray(graph.dst[alive], dtype=np.int32)
+    w_inv = np.ascontiguousarray(w_inv, dtype=np.int32)
+    m_inv = np.ascontiguousarray(m_inv, dtype=np.int32)
+    got = lib.nj_write_dot(
+        out_path.encode(), shared.num_nodes, node_hash.ctypes.data,
+        len(assemblies), p_blob, p_off.ctypes.data, base.ctypes.data,
+        ctg.ctypes.data, pos.ctypes.data,
+        alive.shape[0], src.ctypes.data, dst.ctypes.data,
+        w_inv.ctypes.data, w_blob, w_off.ctypes.data,
+        m_inv.ctypes.data, c_blob, c_off.ctypes.data,
+    )
+    return got == shared.num_nodes + alive.shape[0]
 
 
 def dot_colour_legend(assemblies) -> str:

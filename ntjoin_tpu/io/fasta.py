@@ -95,6 +95,14 @@ def write_fai(path: str, out_path: str | None = None) -> str:
     per line.  Only needed to mirror the reference's artifact set.
     """
     out_path = out_path or path + ".fai"
+    if not path.endswith(".gz"):
+        from ntjoin_tpu.io import native as _native
+
+        lib = _native._load()
+        if lib is not None:
+            got = lib.nj_write_fai(path.encode(), out_path.encode())
+            if got >= 0:
+                return out_path
     rows = []
     with open(path, "rb") as fh:
         name = None

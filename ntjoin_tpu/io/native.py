@@ -57,6 +57,17 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.nj_encode.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.nj_write_fai.restype = ctypes.c_int64
+    lib.nj_write_fai.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.nj_write_dot.restype = ctypes.c_int64
+    lib.nj_write_dot.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+    ]
     lib.nj_fasta_open.restype = ctypes.c_void_p
     lib.nj_fasta_open.argtypes = [ctypes.c_char_p]
     lib.nj_fasta_count.restype = ctypes.c_int64
@@ -108,6 +119,36 @@ def sketch_codes_native(codes: np.ndarray, k: int, w: int, threads: int = 0):
         codes.ctypes.data, n, k, w, threads,
         pos.ctypes.data, hashes.ctypes.data, cap,
     )
+    return Sketch(positions=pos[:count].copy(), hashes=hashes[:count].copy())
+
+
+def sketch_seq_host(seq: str | bytes, k: int, w: int):
+    """Sketch an ASCII sequence on the fastest available host path.
+
+    Native C++ encode + rolling sketch when the library is loadable, NumPy
+    oracle otherwise — bit-identical either way (enforced by the parity
+    suites).  This is the host analogue of the reference's in-process
+    ``btllib.Indexlr`` use for overlap re-sketching
+    (``ntjoin_assemble.py:478-479``).
+    """
+    lib = _load()
+    if lib is None:
+        from ntjoin_tpu.ops.nthash_np import sketch_seq
+
+        return sketch_seq(seq, k, w)
+    from ntjoin_tpu.ops.nthash_np import Sketch
+
+    raw = seq.encode("ascii") if isinstance(seq, str) else bytes(seq)
+    n = len(raw)
+    if k > n or w > n - k + 1:
+        return Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    codes = np.empty(n, dtype=np.uint8)
+    lib.nj_encode(raw, n, codes.ctypes.data)
+    cap = n - k + 2
+    pos = np.empty(cap, dtype=np.int64)
+    hashes = np.empty(cap, dtype=np.uint64)
+    count = lib.nj_sketch(codes.ctypes.data, n, k, w, pos.ctypes.data,
+                          hashes.ctypes.data, cap)
     return Sketch(positions=pos[:count].copy(), hashes=hashes[:count].copy())
 
 

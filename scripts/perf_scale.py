@@ -1,0 +1,122 @@
+"""Synthetic-scale end-to-end profiling harness.
+
+Generates a random genome as the reference assembly, a fragmented +
+lightly-shuffled copy as the target draft, then runs the full assemble
+pipeline (host backend) under an optional cProfile, reporting per-stage
+wall times.  Mirrors the scale methodology recorded in CLAUDE.md
+("Measured scale point").
+
+Usage:
+    python scripts/perf_scale.py --mbp 100 [--profile] [--keep DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import cProfile
+import os
+import pstats
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_genome(rng: np.random.Generator, length: int) -> np.ndarray:
+    return rng.integers(0, 4, size=length, dtype=np.int8)
+
+
+CODES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def write_fasta(path: str, records: list[tuple[str, np.ndarray]]) -> None:
+    with open(path, "wb") as fh:
+        for name, codes in records:
+            fh.write(b">" + name.encode() + b"\n")
+            seq = CODES[codes]
+            for i in range(0, seq.shape[0], 80):
+                fh.write(seq[i : i + 80].tobytes() + b"\n")
+
+
+def make_inputs(workdir: str, mbp: float, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    n = int(mbp * 1e6)
+    genome = synth_genome(rng, n)
+    # reference: a few chromosome-scale sequences
+    n_chrom = max(1, int(round(mbp / 50)))
+    bounds = np.linspace(0, n, n_chrom + 1).astype(np.int64)
+    ref = [(f"chr{i}", genome[bounds[i] : bounds[i + 1]]) for i in range(n_chrom)]
+    # target: fragmented into ~50 kbp contigs, order shuffled, some reversed
+    frag = 50_000
+    cuts = np.arange(0, n, frag)
+    cuts = np.append(cuts, n)
+    pieces = []
+    comp = np.array([3, 2, 1, 0], dtype=np.int8)
+    for i in range(cuts.shape[0] - 1):
+        codes = genome[cuts[i] : cuts[i + 1]]
+        if rng.random() < 0.3:
+            codes = comp[codes[::-1]]
+        pieces.append((f"ctg{i}", codes))
+    order = rng.permutation(len(pieces))
+    tgt = [pieces[i] for i in order]
+    ref_fa = os.path.join(workdir, "ref.fa")
+    tgt_fa = os.path.join(workdir, "target.fa")
+    write_fasta(ref_fa, ref)
+    write_fasta(tgt_fa, tgt)
+    return ref_fa, tgt_fa
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=100.0)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--w", type=int, default=1000)
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--keep", default=None, help="keep workdir at this path")
+    ap.add_argument("--sort", default="cumulative")
+    ap.add_argument("--backend", default="auto", help="sketch backend")
+    args = ap.parse_args()
+
+    workdir = args.keep or tempfile.mkdtemp(prefix="ntjoin_scale_")
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.perf_counter()
+    ref_fa, tgt_fa = make_inputs(workdir, args.mbp)
+    print(f"[inputs] {args.mbp} Mbp generated in {time.perf_counter()-t0:.1f}s")
+
+    from ntjoin_tpu import cli
+
+    # The artifact-naming contract (prefix + "." + target-TSV-name) assumes
+    # relative paths from the working directory, like the reference Makefile.
+    os.chdir(workdir)
+    words = [
+        "assemble",
+        f"target={os.path.basename(tgt_fa)}",
+        f"references={os.path.basename(ref_fa)}",
+        "reference_weights=2",
+        f"k={args.k}",
+        f"w={args.w}",
+        "prefix=out",
+        "time=True",
+        f"backend={args.backend}",
+    ]
+    t0 = time.perf_counter()
+    if args.profile:
+        prof = cProfile.Profile()
+        prof.enable()
+        rc = cli.main(words)
+        prof.disable()
+        stats = pstats.Stats(prof)
+        stats.sort_stats(args.sort).print_stats(35)
+    else:
+        rc = cli.main(words)
+    print(f"[e2e] assemble rc={rc} in {time.perf_counter()-t0:.1f}s")
+    if not args.keep:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
