@@ -41,14 +41,26 @@ def write_fasta(path: str, records: list[tuple[str, np.ndarray]]) -> None:
                 fh.write(seq[i : i + 80].tobytes() + b"\n")
 
 
-def make_inputs(workdir: str, mbp: float, seed: int = 7):
+def make_inputs(workdir: str, mbp: float, seed: int = 7, n_refs: int = 1):
     rng = np.random.default_rng(seed)
     n = int(mbp * 1e6)
     genome = synth_genome(rng, n)
-    # reference: a few chromosome-scale sequences
+    # references: a few chromosome-scale sequences each; extra references
+    # use offset chromosome boundaries so they are distinct assemblies of
+    # the same underlying genome (the multi-reference BASELINE config)
     n_chrom = max(1, int(round(mbp / 50)))
-    bounds = np.linspace(0, n, n_chrom + 1).astype(np.int64)
-    ref = [(f"chr{i}", genome[bounds[i] : bounds[i + 1]]) for i in range(n_chrom)]
+    ref_fas = []
+    for r in range(n_refs):
+        off = (r * n) // (n_chrom * max(1, n_refs) * 2)
+        bounds = np.linspace(0, n, n_chrom + 1).astype(np.int64)
+        bounds[1:-1] = np.clip(bounds[1:-1] + off, 1, n - 1)
+        ref = [
+            (f"r{r}chr{i}", genome[bounds[i] : bounds[i + 1]])
+            for i in range(n_chrom)
+        ]
+        ref_fa = os.path.join(workdir, f"ref{r if r else ''}.fa")
+        write_fasta(ref_fa, ref)
+        ref_fas.append(ref_fa)
     # target: fragmented into ~50 kbp contigs, order shuffled, some reversed
     frag = 50_000
     cuts = np.arange(0, n, frag)
@@ -62,11 +74,9 @@ def make_inputs(workdir: str, mbp: float, seed: int = 7):
         pieces.append((f"ctg{i}", codes))
     order = rng.permutation(len(pieces))
     tgt = [pieces[i] for i in order]
-    ref_fa = os.path.join(workdir, "ref.fa")
     tgt_fa = os.path.join(workdir, "target.fa")
-    write_fasta(ref_fa, ref)
     write_fasta(tgt_fa, tgt)
-    return ref_fa, tgt_fa
+    return ref_fas, tgt_fa
 
 
 def main() -> int:
@@ -78,12 +88,13 @@ def main() -> int:
     ap.add_argument("--keep", default=None, help="keep workdir at this path")
     ap.add_argument("--sort", default="cumulative")
     ap.add_argument("--backend", default="auto", help="sketch backend")
+    ap.add_argument("--refs", type=int, default=1, help="number of references")
     args = ap.parse_args()
 
     workdir = args.keep or tempfile.mkdtemp(prefix="ntjoin_scale_")
     os.makedirs(workdir, exist_ok=True)
     t0 = time.perf_counter()
-    ref_fa, tgt_fa = make_inputs(workdir, args.mbp)
+    ref_fas, tgt_fa = make_inputs(workdir, args.mbp, n_refs=args.refs)
     print(f"[inputs] {args.mbp} Mbp generated in {time.perf_counter()-t0:.1f}s")
 
     from ntjoin_tpu import cli
@@ -94,8 +105,8 @@ def main() -> int:
     words = [
         "assemble",
         f"target={os.path.basename(tgt_fa)}",
-        f"references={os.path.basename(ref_fa)}",
-        "reference_weights=2",
+        "references=" + " ".join(os.path.basename(r) for r in ref_fas),
+        "reference_weights=" + " ".join("2" for _ in ref_fas),
         f"k={args.k}",
         f"w={args.w}",
         "prefix=out",
