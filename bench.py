@@ -79,16 +79,20 @@ def bench_device(codes_np, k, w, repeats=5):
 
     def run():
         out = _sketch_fused(dev, n, k, w, cap)
-        jax.block_until_ready(out)
-        return out
+        # force completion with a host fetch of the count scalar:
+        # jax.block_until_ready is a NO-OP over the axon TPU relay, so a
+        # wall-clock around it times dispatch, not the device program.
+        return int(out[3]), out
 
-    out = run()  # compile + warm
+    cnt, out = run()  # compile + warm
     assert bool(out[4]), "fused path invalid for this input"
-    t0 = time.monotonic()
+    assert 0 < cnt <= cap, f"implausible emission count {cnt}"
+    ts = []
     for _ in range(repeats):
+        t0 = time.monotonic()
         run()
-    dt = (time.monotonic() - t0) / repeats
-    return n / dt
+        ts.append(time.monotonic() - t0)
+    return n / min(ts)
 
 
 def bench_host_native(codes_np, k, w):

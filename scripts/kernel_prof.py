@@ -22,13 +22,25 @@ from ntjoin_tpu.ops.sketch_pallas import (
     _hash_chunked, _window_chunked, _sketch_fused,
 )
 
+def sync(x):
+    """Force completion by fetching one element to host.
+
+    jax.block_until_ready is a NO-OP over the axon TPU relay (returns
+    before the program runs); a host fetch is the only reliable barrier.
+    The fetch itself costs one tunnel round-trip (~25 ms) — subtract the
+    measured latency floor when interpreting results.
+    """
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
 def timeit(fn, repeats=5):
-    out = fn()
-    jax.block_until_ready(out)
-    t0 = time.monotonic()
+    sync(fn())
+    ts = []
     for _ in range(repeats):
-        jax.block_until_ready(fn())
-    return (time.monotonic() - t0) / repeats
+        t0 = time.monotonic()
+        sync(fn())
+        ts.append(time.monotonic() - t0)
+    return min(ts)
 
 
 def main():
@@ -46,7 +58,11 @@ def main():
     buf[:n] = codes_np
     cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
     dev = jax.device_put(jnp.asarray(buf))
-    print(f"n={n} L={L} code_rows={code_rows} cap={cap}", flush=True)
+    tiny = jax.device_put(jnp.ones(128, jnp.float32))
+    g1 = jax.jit(lambda y: y + 1)
+    lat = timeit(lambda: g1(tiny), 3)
+    print(f"n={n} L={L} code_rows={code_rows} cap={cap} "
+          f"sync-latency={lat*1e3:.1f}ms", flush=True)
 
     # full fused
     dt = timeit(lambda: _sketch_fused(dev, n, k, w, cap))
