@@ -14,11 +14,14 @@ TPU-era framework needs instead of its thread pools:
   set — the collective pattern that replaces nothing in the reference (it
   had no distribution) but is required at pod scale.
 
-Exactness note: tiles are split on the base-position stream.  When a tile
-interior contains non-ACGT runs longer than the halo, windows-over-valid-
-kmers can span beyond the halo; ``sketch_sharded`` detects that and falls
-back to the exact single-program path.  N-free genomes (and masked repeats
-shorter than w+k) shard exactly.
+Exactness note: tiles are split on the *valid-k-mer stream*, not on base
+positions — shard d owns stream windows [d*tw, (d+1)*tw) and its base tile
+spans exactly the bases of stream ranks [d*tw - 1, (d+1)*tw - 1 + w - 1]
+(one extra left window for seam dedupe).  Because windows slide over valid
+k-mers (btllib semantics, reference sketch contract at
+/root/reference/ntJoin:204-205), a base-split tile could need unbounded
+halos across long N runs; a stream-split tile never does, so N-rich real
+assemblies shard exactly with no single-program fallback.
 """
 from __future__ import annotations
 
@@ -39,34 +42,57 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=("shard",))
 
 
-def _tile_record(codes: np.ndarray, n_shards: int, k: int, w: int):
-    """Split one record into per-shard base tiles with full halos.
-
-    Shard d owns window starts [d*tk, (d+1)*tk) of the kmer stream and gets
-    one extra left window for seam dedupe.  Returns (tiles, n_reals,
-    kmer_offsets, own_counts) with tiles padded to a common length.
-    """
+def _valid_kmer_starts(codes: np.ndarray, k: int) -> np.ndarray:
+    """Start positions of k-mers containing no invalid base (the stream)."""
     n = codes.shape[0]
-    nk = n - k + 1
-    nw = nk - w + 1
-    tk = -(-nw // n_shards)  # windows per shard
-    halo = w + k - 2
-    tile_len = tk + 1 + halo  # +1 base for the extra left window
-    tiles = np.full((n_shards, tile_len), CODE_INVALID, dtype=np.int32)
-    n_reals = np.zeros(n_shards, dtype=np.int32)
+    idx = np.arange(n, dtype=np.int64)
+    last_bad = np.maximum.accumulate(np.where(codes >= CODE_INVALID, idx, -1))
+    starts = idx[: n - k + 1]
+    return np.flatnonzero(last_bad[starts + k - 1] < starts)
+
+
+def _bucket(n: int) -> int:
+    size = 256
+    while size < n:
+        size *= 2
+    return size
+
+
+def _tile_record(codes: np.ndarray, n_shards: int, k: int, w: int):
+    """Split one record into per-shard base tiles along the valid stream.
+
+    Shard d owns stream windows [d*tw, (d+1)*tw) and gets one extra left
+    window for seam dedupe; its base tile spans exactly the bases of its
+    stream ranks, so interior N runs of any length shard exactly.  Returns
+    (tiles, n_reals, base_offsets, own_counts); tiles are padded to a
+    power-of-two bucket so XLA compiles one program per bucket.
+    """
+    vk = _valid_kmer_starts(codes, k)
+    ns = vk.size - w + 1  # global stream windows
+    tw = -(-max(ns, 0) // n_shards)  # windows per shard
+    segs: list[np.ndarray | None] = []
     offsets = np.zeros(n_shards, dtype=np.int64)
     own = np.zeros(n_shards, dtype=np.int32)
     for d in range(n_shards):
-        wstart = d * tk
-        own[d] = max(0, min(tk, nw - wstart))
+        ws = d * tw
+        own[d] = max(0, min(tw, ns - ws))
+        if own[d] == 0:
+            segs.append(None)
+            continue
         lead = 1 if d > 0 else 0  # extra left window for dedupe
-        base_lo = wstart - lead
-        base_hi = min(n, wstart + own[d] - 1 + w + k - 1)
-        if own[d] > 0:
-            seg = codes[base_lo:base_hi]
+        lo_rank = ws - lead
+        hi_rank = min(vk.size - 1, ws + own[d] - 1 + w - 1)
+        base_lo = int(vk[lo_rank])
+        base_hi = int(vk[hi_rank]) + k
+        segs.append(codes[base_lo:base_hi])
+        offsets[d] = base_lo
+    tile_len = _bucket(max((s.shape[0] for s in segs if s is not None), default=256))
+    tiles = np.full((n_shards, tile_len), CODE_INVALID, dtype=np.int32)
+    n_reals = np.zeros(n_shards, dtype=np.int32)
+    for d, seg in enumerate(segs):
+        if seg is not None:
             tiles[d, : seg.shape[0]] = seg
             n_reals[d] = seg.shape[0]
-        offsets[d] = base_lo
     return tiles, n_reals, offsets, own
 
 
@@ -115,14 +141,10 @@ def sketch_sharded(
         from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
 
         return sketch_codes_jax(codes, k, w)
-    # exactness guard: interior invalid runs longer than the halo break
-    # tile-local window/valid-kmer equivalence -> use the single program
-    if (codes >= CODE_INVALID).any():
-        from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
-
-        return sketch_codes_jax(codes, k, w)
 
     tiles, n_reals, offsets, own = _tile_record(codes, n_shards, k, w)
+    if not own.any():  # fewer than w valid k-mers in the whole record
+        return empty
     fn = sharded_sketch_fn(mesh, k, w)
     win_pos, h_lo, h_hi, emit = fn(jnp.asarray(tiles), jnp.asarray(n_reals))
     win_pos = np.asarray(win_pos)

@@ -28,6 +28,32 @@ def test_sharded_sketch_matches_oracle(mesh8, seed, k, w):
     assert got.hashes.tolist() == ref.hashes.tolist()
 
 
+@pytest.mark.parametrize("seed,k,w", [(0, 32, 100), (5, 15, 10)])
+def test_sharded_sketch_n_runs(mesh8, seed, k, w):
+    # interior N runs much longer than the (w+k-2) halo: windows must slide
+    # over the valid-kmer stream across the gaps, exactly like btllib
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    for start in rng.integers(0, 55_000, size=6):
+        codes[start : start + int(rng.integers(200, 2_000))] = 4  # N
+    ref = sketch_codes(codes, k, w)
+    got = sketch_sharded(codes, k, w, mesh8)
+    assert got.positions.tolist() == ref.positions.tolist()
+    assert got.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_sharded_sketch_mostly_n(mesh8):
+    # degenerate: almost everything invalid, stream barely longer than w
+    codes = np.full(50_000, 4, dtype=np.uint8)
+    rng = np.random.default_rng(9)
+    codes[1000:1200] = rng.integers(0, 4, size=200)
+    codes[30_000:30_100] = rng.integers(0, 4, size=100)
+    ref = sketch_codes(codes, 15, 10)
+    got = sketch_sharded(codes, 15, 10, mesh8)
+    assert got.positions.tolist() == ref.positions.tolist()
+    assert got.hashes.tolist() == ref.hashes.tolist()
+
+
 def test_sharded_repeat_seams(mesh8):
     # periodic sequence stresses seam dedupe: identical hashes everywhere
     codes = np.tile(np.array([0, 1, 2, 3], dtype=np.uint8), 10_000)
