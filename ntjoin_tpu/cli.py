@@ -51,6 +51,9 @@ _DEFAULTS = {
     "time": "False",
     "prefix": "",
     "backend": "auto",
+    # filter/graph stage: host | device | auto (device iff the sketch
+    # backend is a JAX one — data is then already device-resident)
+    "index_backend": "auto",
 }
 
 
@@ -217,6 +220,12 @@ def assemble(words: list[str]) -> int:
     overlap_g = v["overlap_g"] or v["g"]
     timers = StageTimers(enabled=_truthy(v["time"]), prefix=prefix)
     backend = _sketch_backend(v["backend"])
+    index_backend = v["index_backend"]
+    if index_backend == "auto":
+        index_backend = (
+            "device" if backend.__module__.endswith(("sketch_pallas", "sketch_jax"))
+            else "host"
+        )
 
     references = v["references"].split()
     cache: dict[str, AssemblySketch] = {}
@@ -250,6 +259,7 @@ def assemble(words: list[str]) -> int:
         overlap_gap=int(overlap_g),
         overlap_k=int(v["overlap_k"]),
         overlap_w=int(v["overlap_w"]),
+        index_backend=index_backend,
     )
     with timers.stage("scaffold"):
         Scaffolder(cfg, sketch_cache=cache).run()

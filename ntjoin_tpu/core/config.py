@@ -40,6 +40,9 @@ class ScaffoldConfig:
     keep_segments_fa: bool = False  # keep the temporary segments file
     write_dot: bool = True  # emit the .mx.dot graph artifact
     verbose: bool = True
+    # "host" = NumPy filters/graph; "device" = jitted XLA shared-index +
+    # edge tally (ops/device_index.py), byte-equal by construction
+    index_backend: str = "host"
 
     def validate(self) -> None:
         if not self.target:

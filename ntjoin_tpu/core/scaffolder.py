@@ -104,13 +104,24 @@ class Scaffolder:
         ]
         assemblies.append(self._load_sketch(cfg.target, cfg.target_weight))
         self.target_idx = len(assemblies) - 1
-        self.shared = SharedIndex(assemblies)
+        use_device_index = cfg.index_backend == "device"
+        if use_device_index:
+            from ntjoin_tpu.ops.device_index import shared_index_device
+
+            self.shared = shared_index_device(assemblies)
+        else:
+            self.shared = SharedIndex(assemblies)
 
         self._log("Generating minimizer graph")
         weight_str = "\n".join(f"{a.name}: {a.weight}" for a in assemblies)
         if cfg.verbose:
             print(f"\nWeights of assemblies:\n{weight_str}\n", flush=True)
-        self.graph = build_graph(self.shared)
+        if use_device_index:
+            from ntjoin_tpu.ops.device_index import build_graph_device
+
+            self.graph = build_graph_device(self.shared)
+        else:
+            self.graph = build_graph(self.shared)
         if cfg.write_dot:
             self._log("Printing graph", cfg.prefix + ".mx.dot")
             write_dot(cfg.prefix + ".mx.dot", self.graph, self.shared)
