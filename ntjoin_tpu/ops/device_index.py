@@ -72,14 +72,13 @@ def _compact_1d(flags, cap: int, *vals):
     return count, outs
 
 
-@partial(jax.jit, static_argnames=("n_asm", "cap_nodes"))
-def _shared_filter(lo, hi, asm, ctg, pos, dead, n_asm: int, cap_nodes: int):
-    """Uniqueness + intersection over padded concatenated streams.
+def survive_verdict_sorted(lo, hi, asm, dead, n_asm: int):
+    """Per-element survive verdict: hash occurs exactly once in EVERY assembly.
 
-    Inputs are the assemblies' minimizer streams concatenated in assembly
-    order (original sketch order preserved), padded with ``dead`` entries.
-    Returns the (node, assembly)-major shared index plus per-element stream
-    node ids in original order.
+    This single predicate subsumes the reference's two filters (within-
+    assembly uniqueness then all-assembly intersection — a duplicated hash
+    is dropped from its assembly, so it can never satisfy presence-in-all).
+    Returns (order, survive_sorted) over the sort by (dead, hash, asm).
     """
     n = lo.shape[0]
     order = jnp.lexsort((asm, lo, hi, dead.astype(_I32)))
@@ -97,7 +96,21 @@ def _shared_filter(lo, hi, asm, ctg, pos, dead, n_asm: int, cap_nodes: int):
     dup_adj = same_group & (s_asm == jnp.concatenate([jnp.full(1, -1, _I32), s_asm[:-1]]))
     seg_dup = jnp.zeros(n, bool).at[gid].max(dup_adj)
     survive_g = (seg_size == n_asm) & ~seg_dup
-    survive = survive_g[gid] & ~s_dead
+    return order, survive_g[gid] & ~s_dead
+
+
+@partial(jax.jit, static_argnames=("n_asm", "cap_nodes"))
+def _shared_filter(lo, hi, asm, ctg, pos, dead, n_asm: int, cap_nodes: int):
+    """Uniqueness + intersection over padded concatenated streams.
+
+    Inputs are the assemblies' minimizer streams concatenated in assembly
+    order (original sketch order preserved), padded with ``dead`` entries.
+    Returns the (node, assembly)-major shared index plus per-element stream
+    node ids in original order.
+    """
+    n = lo.shape[0]
+    order, survive = survive_verdict_sorted(lo, hi, asm, dead, n_asm)
+    s_lo, s_hi = lo[order], hi[order]
 
     # survivor rank = nid * n_asm + asm (groups are hash-ascending, members
     # assembly-ascending, exactly one per assembly)
