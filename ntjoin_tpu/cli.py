@@ -11,6 +11,8 @@ Usage::
 
     ntjoin-tpu assemble target=scaf.fa references='ref.fa' reference_weights='2' \
         k=32 w=1000 n=2 [prefix=...] [overlap=True] [agp=True] ...
+    ntjoin-tpu analysis target=scaf.fa references='ref.fa' ref=truth.fa  # minimap2+samtools
+    ntjoin-tpu quast target=scaf.fa references='ref.fa' ref=truth.fa [large=1]
 """
 from __future__ import annotations
 
@@ -304,6 +306,40 @@ def analysis(words: list[str]) -> int:
     return 0
 
 
+def quast(words: list[str]) -> int:
+    """QUAST evaluation of references + target + all.scaffolds vs a truth
+    reference (mirror of the reference's ``quast_$(prefix)/report.tsv``
+    target, ``ntJoin:244-252``): ``--fast --scaffold-gap-max-size 100000
+    --split-scaffolds`` plus ``--large`` when ``large=1``."""
+    from ntjoin_tpu.analysis import MissingToolError, run_quast
+
+    v = _parse_vars([w for w in words if not w.startswith("-")])
+    ref = v.get("ref", "None")
+    if ref == "None":
+        print("ERROR: must set ref", file=sys.stderr)
+        return 1
+    if v["target"] == "None":
+        print("ERROR: Must set target", file=sys.stderr)
+        return 1
+    k, w, n = int(v["k"]), int(v["w"]), int(v["n"])
+    prefix = v["prefix"] or f"out.k{k}.w{w}.n{n}"
+    references = v["references"].split() if v["references"] != "None" else []
+    assemblies = references + [
+        v["target"],
+        f"{v['target']}.k{k}.w{w}.n{n}.all.scaffolds.fa",
+    ]
+    try:
+        report = run_quast(
+            assemblies, ref, f"quast_{prefix}", threads=int(v["t"]),
+            large=v.get("large", "0") == "1",
+        )
+    except MissingToolError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
+    print(f"QUAST report: {report}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("help", "-h", "--help"):
@@ -330,6 +366,8 @@ def main(argv: list[str] | None = None) -> int:
         return assemble(rest)
     if cmd == "analysis":
         return analysis(rest)
+    if cmd == "quast":
+        return quast(rest)
     if cmd == "all":
         rc = assemble(rest)
         return rc or analysis(rest)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _lexsort_pairs(lo, hi):
@@ -76,6 +77,13 @@ def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
     a validity mask (pairs crossing contig/assembly boundaries are dead);
     grouping/dedup happens via sort.
     """
+    n_asm = np.shape(np.asarray(weights))[0]
+    if n_asm > 32:
+        raise ValueError(
+            f"device edge_tally supports at most 32 assemblies (got {n_asm}):"
+            " the support bitmask is a uint32 lane — use the host"
+            " graph.mingraph.build_graph path (unlimited) instead"
+        )
     u = node_ids[:-1]
     v = node_ids[1:]
     same = (ctg_ids[1:] == ctg_ids[:-1]) & (asm_ids[1:] == asm_ids[:-1])

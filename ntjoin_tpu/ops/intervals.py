@@ -21,22 +21,26 @@ def self_intersect_counts(beds: list[Bed]) -> list[int]:
     """For each interval, how many intervals of the set overlap it (>=1 bp).
 
     Mirrors ``bedtools intersect -c -wa`` with the file against itself
-    (half-open overlap test; every interval counts itself).
+    (half-open overlap test; every interval counts itself).  O(n log n)
+    sort/sweep per contig — bedtools-class scaling, not the naive all-pairs
+    compare: overlaps(i) = #{start_j < end_i} - #{end_j <= start_i} (an
+    interval failing the second test while passing the first would need
+    end_j <= start_i < end_i <= start_j, contradicting start_j < end_j).
     """
-    counts = []
-    by_ctg: dict[str, list[Bed]] = {}
-    for b in beds:
-        by_ctg.setdefault(b.contig, []).append(b)
-    arrays = {
-        c: (
-            np.array([b.start for b in bl]),
-            np.array([b.end for b in bl]),
+    by_ctg: dict[str, list[int]] = {}
+    for i, b in enumerate(beds):
+        by_ctg.setdefault(b.contig, []).append(i)
+    counts = [0] * len(beds)
+    for idxs in by_ctg.values():
+        starts = np.array([beds[i].start for i in idxs])
+        ends = np.array([beds[i].end for i in idxs])
+        starts_sorted = np.sort(starts)
+        ends_sorted = np.sort(ends)
+        c = np.searchsorted(starts_sorted, ends, side="left") - np.searchsorted(
+            ends_sorted, starts, side="right"
         )
-        for c, bl in by_ctg.items()
-    }
-    for b in beds:
-        starts, ends = arrays[b.contig]
-        counts.append(int(((starts < b.end) & (b.start < ends)).sum()))
+        for i, ci in zip(idxs, c):
+            counts[i] = int(ci)
     return counts
 
 

@@ -699,6 +699,8 @@ def sketch_codes_pallas(
     n = int(codes.shape[0])
     if k > n or w > n - k + 1:
         return empty
+    if n >= (1 << 31) - (1 << 20):  # i32 device position guard
+        return _host_sketch(codes, k, w)
     nk = n - k + 1
     halo = w + k - 2
     L = -(-nk // _CHUNKS)  # positions owned per chunk
@@ -751,6 +753,24 @@ def sketch_records_pallas(
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     sep = k - 1
     total = sum(int(c.shape[0]) + sep for c in codes_list)
+    # int32 stream-index guard: device positions are i32, so one batch must
+    # stay under 2^31 flat bases.  Larger assemblies (>2.1 Gbp) are split
+    # into sub-batches — records are independent, batching is efficiency.
+    _I32_SAFE = (1 << 31) - (1 << 20)
+    if total > _I32_SAFE:
+        out: list[Sketch] = []
+        batch: list[np.ndarray] = []
+        acc = 0
+        for c in codes_list:
+            sz = int(c.shape[0]) + sep
+            if batch and acc + sz > _I32_SAFE:
+                out.extend(sketch_records_pallas(batch, k, w, interpret))
+                batch, acc = [], 0
+            batch.append(c)
+            acc += sz
+        if batch:
+            out.extend(sketch_records_pallas(batch, k, w, interpret))
+        return out
     nk = max(total - k + 1, 0)
     halo = w + k - 2
     L = -(-max(nk, 1) // _CHUNKS)

@@ -7,7 +7,12 @@ wall times.  Mirrors the scale methodology recorded in CLAUDE.md
 ("Measured scale point").
 
 Usage:
-    python scripts/perf_scale.py --mbp 100 [--profile] [--keep DIR]
+    python scripts/perf_scale.py --mbp 100 [--refs N] [--backend B] [--profile] [--keep DIR]
+
+``--refs N`` scaffolds against N synthetic references (each an independent
+shuffle of the genome) so the cross-assembly intersection and edge-support
+stages scale like a real multi-reference run; the default is 1.
+``--backend`` picks the sketch path (auto|native|numpy|jax|pallas).
 """
 from __future__ import annotations
 
@@ -90,6 +95,8 @@ def main() -> int:
     ap.add_argument("--backend", default="auto", help="sketch backend")
     ap.add_argument("--refs", type=int, default=1, help="number of references")
     args = ap.parse_args()
+    if args.refs < 1:
+        ap.error("--refs must be >= 1 (at least one reference assembly)")
 
     workdir = args.keep or tempfile.mkdtemp(prefix="ntjoin_scale_")
     os.makedirs(workdir, exist_ok=True)

@@ -141,6 +141,42 @@ class TestBloom:
         sk2 = AssemblySketch.from_tsv(str(tsv), 1.0)
         assert len(sk2.hash) == 3
 
+    def test_deterministic_across_processes(self, tmp_path):
+        """ntHash-based indices: identical regardless of PYTHONHASHSEED
+        (Python hash() is salted per process; btllib BFs are files shared
+        across runs, so index determinism is required)."""
+        code = (
+            "from ntjoin_tpu.utils.bloom import BloomFilter\n"
+            "print(list(BloomFilter(1 << 16)._indices('ACGTACGTACGTACG')))\n"
+        )
+        outs = set()
+        for seed in ("0", "12345"):
+            env = dict(os.environ, PYTHONPATH=REPO, PYTHONHASHSEED=seed)
+            res = subprocess.run(
+                [sys.executable, "-c", code], env=env,
+                capture_output=True, text=True,
+            )
+            assert res.returncode == 0, res.stderr
+            outs.add(res.stdout.strip())
+        assert len(outs) == 1, outs
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from ntjoin_tpu.utils.bloom import BloomFilter
+
+        bf = BloomFilter(1 << 14, num_hashes=4)
+        kmers = ["ACGTACGTAC", "TTTTTTTTTT", "GGGGCCCCAA"]
+        for km in kmers:
+            bf.insert(km)
+        path = str(tmp_path / "repeats.bf")
+        bf.save(path)
+        bf2 = BloomFilter.load(path)
+        assert bf2.size == bf.size and bf2.num_hashes == 4
+        assert all(bf2.contains(km) for km in kmers)
+        assert not bf2.contains("ACACACACAC")
+        with pytest.raises(ValueError):
+            (tmp_path / "junk.bf").write_bytes(b"nope")
+            BloomFilter.load(str(tmp_path / "junk.bf"))
+
 
 def test_run_argparse_smoke(tmp_path):
     """The argparse stage front-end runs the f-f case directly on TSVs."""
@@ -224,3 +260,56 @@ def test_mann_kendall_batch_matches_scalar():
     pos2 = jnp.pad(pos, ((0, 0), (0, 5)), constant_values=777)
     trend2, h2, p2, _ = mann_kendall_batch(pos2, lengths)
     assert np.allclose(np.asarray(p), np.asarray(p2))
+
+
+def _write_more_sequences_fixture(tmp_path):
+    """Deterministic 24-contig fixture in the spirit of the reference's
+    test_more_sequences (20-contig ``scaf.longer.fa``, a missing blob in
+    the snapshot; reference ``tests/ntjoin_test.py:222-225``): many joined
+    pieces with mixed orientation, two unassigned contigs and terminal Ns,
+    stressing the unassigned BED complement path the pybedtools regression
+    guarded."""
+    rng = np.random.default_rng(777)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=120_000))
+    (tmp_path / "ref.fa").write_text(f">genome\n{genome}\n")
+    rc = str.maketrans("ACGT", "TGCA")
+    pieces = []
+    for i, b in enumerate(range(0, 120_000, 5000)):
+        seg = genome[b : b + 5000]
+        if i % 4 == 3:
+            seg = seg[::-1].translate(rc)  # reverse-orient every 4th piece
+        if i == 5:
+            seg = "N" * 12 + seg[12:]  # terminal N stripping case
+        pieces.append(f">piece{i}\n{seg}\n")
+    # unrelated contigs: must come out unassigned, in BED and FASTA
+    extra = "".join("ACGT"[i] for i in rng.integers(0, 4, size=3000))
+    pieces.append(f">floating1\n{extra}\n")
+    pieces.append(f">floating2\n{extra[::-1].translate(rc)}\n")
+    (tmp_path / "target.fa").write_text("".join(pieces))
+
+
+def test_more_sequences_golden(tmp_path):
+    """24-contig run pinned to committed golden artifacts."""
+    _write_more_sequences_fixture(tmp_path)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+         "backend=numpy", "target=target.fa", "references=ref.fa",
+         "reference_weights=2", "k=32", "w=250", "n=2", "prefix=longer",
+         "overlap=True", "agp=True"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    golden = os.path.join(REPO, "tests", "golden")
+    for name, got in (
+        ("longer.path", "longer.path"),
+        ("longer.agp", "longer.agp"),
+        ("longer.unassigned.bed",
+         "longer.target.fa.k32.w250.tsv.unassigned.bed"),
+    ):
+        want = open(os.path.join(golden, name)).read()
+        assert (tmp_path / got).read_text() == want, f"{name} differs"
+    unassigned = (
+        tmp_path / "target.fa.k32.w250.n2.unassigned.scaffolds.fa"
+    ).read_text()
+    assert ">floating1" in unassigned and ">floating2" in unassigned
