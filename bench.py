@@ -74,7 +74,7 @@ def bench_device(codes_np, k, w, repeats=5):
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
     buf[:n] = codes_np
-    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+    cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
     dev = jax.device_put(jnp.asarray(buf))
 
     def run():

@@ -27,18 +27,35 @@ def mann_kendall_batch(positions: jax.Array, lengths: jax.Array, alpha: float = 
     idx = jnp.arange(l)
     valid = idx[None, :] < lengths[:, None]  # (B, L)
 
-    # S = sum_{i<j} sign(x_j - x_i), masked to valid pairs
-    diff = positions[:, None, :] - positions[:, :, None]  # (B, i, j) = x_j - x_i
-    pair = valid[:, None, :] & valid[:, :, None] & (idx[None, :] > idx[:, None])[None]
-    s = jnp.sum(jnp.sign(diff) * pair, axis=(1, 2))
+    # pair sums blocked over the i axis: O(B * C * L) live memory instead of
+    # materialising the full (B, L, L) pair tensor (long runs would blow it
+    # quadratically)
+    chunk = min(32, l)
+    nblk = -(-l // chunk)
+    pad = nblk * chunk - l
+    pos_p = jnp.pad(positions, ((0, 0), (0, pad)))
+    val_p = jnp.pad(valid, ((0, 0), (0, pad)))
+    idx_p = jnp.pad(idx, (0, pad), constant_values=l)
 
-    # tie correction: counts of equal values among the valid entries
-    eq = (
-        (positions[:, None, :] == positions[:, :, None])
-        & valid[:, None, :]
-        & valid[:, :, None]
+    def body(carry, blk):
+        s_acc, cnt_acc = carry
+        i0 = blk * chunk
+        pi = jax.lax.dynamic_slice_in_dim(pos_p, i0, chunk, axis=1)  # (B, C)
+        vi = jax.lax.dynamic_slice_in_dim(val_p, i0, chunk, axis=1)
+        ii = jax.lax.dynamic_slice_in_dim(idx_p, i0, chunk)
+        diff = positions[:, None, :] - pi[:, :, None]  # (B, C, j) = x_j - x_i
+        both = vi[:, :, None] & valid[:, None, :]
+        after = (idx[None, :] > ii[:, None])[None]  # j > i
+        s_acc = s_acc + jnp.sum(jnp.sign(diff) * (both & after), axis=(1, 2))
+        cnt_acc = cnt_acc + jnp.sum((diff == 0.0) & both, axis=1)  # per j
+        return (s_acc, cnt_acc), None
+
+    (s, counts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros(b, jnp.float32), jnp.zeros((b, l), jnp.int32)),
+        jnp.arange(nblk),
     )
-    counts = jnp.sum(eq, axis=2).astype(jnp.float32)  # multiplicity per element
+    counts = counts.astype(jnp.float32)  # multiplicity per element
     # sum over groups of t(t-1)(2t+5) = sum over elements of (t-1)(2t+5)
     tie_term = jnp.sum(
         jnp.where(valid, (counts - 1) * (2 * counts + 5), 0.0), axis=1

@@ -190,8 +190,7 @@ def _lexmin3(a, b):
     )
 
 
-def _window_kernel(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
-                   s_lo, s_hi, s_ix):
+def _window_kernel(w, l_ref, lo_ref, hi_ref, out_ix, s_lo, s_hi, s_ix):
     g = pl.program_id(0)
     b = pl.program_id(1)
     prev = ((b + 1) % 2) * w  # ping-pong scratch row offsets
@@ -217,8 +216,8 @@ def _window_kernel(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
             res = _lexmin3(
                 (srow(s_lo, prev, t), srow(s_hi, prev, t), srow(s_ix, prev, t)), p
             )
-            out_lo[0, pl.ds(t, 1), :] = res[0]
-            out_hi[0, pl.ds(t, 1), :] = res[1]
+            # only the argmin's stream index is written: the winning hash is
+            # re-gathered by position afterwards (1/3 the output traffic)
             out_ix[0, pl.ds(t, 1), :] = res[2]
 
         return _lexmin3(p, (row(lo_ref, t), row(hi_ref, t), ix_base + t))
@@ -254,8 +253,7 @@ def _tile_scan3(vals, shift, fill3):
     return vals
 
 
-def _window_kernel_v2(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
-                      s_lo, s_hi, s_ix):
+def _window_kernel_v2(w, l_ref, lo_ref, hi_ref, out_ix, s_lo, s_hi, s_ix):
     """Sublane-tiled Van Herk: 8 window rows per loop iteration.
 
     Requires w % 8 == 0 (the wrapper falls back to the row-sequential kernel
@@ -298,8 +296,6 @@ def _window_kernel_v2(w, l_ref, lo_ref, hi_ref, out_lo, out_hi, out_ix,
                 s_ix[pl.ds(prev + t8 * 8, 8), :],
             )
             res = _lexmin3(sp, excl)
-            out_lo[0, pl.ds(t8 * 8, 8), :] = res[0]
-            out_hi[0, pl.ds(t8 * 8, 8), :] = res[1]
             out_ix[0, pl.ds(t8 * 8, 8), :] = res[2]
 
         return tuple(i[7:8] for i in incl)  # (1, LANE) carries
@@ -348,12 +344,8 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
         functools.partial(kernel, w),
         grid=(groups, nb),
         in_specs=[scalar_spec, in_spec, in_spec],
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _U32),
-            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _U32),
-            jax.ShapeDtypeStruct((groups, rows - w, _LANE), _I32),
-        ),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, rows - w, _LANE), _I32),
         scratch_shapes=[
             pltpu.VMEM((2 * w, _LANE), _U32),
             pltpu.VMEM((2 * w, _LANE), _U32),
@@ -385,9 +377,12 @@ def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
     """
     nl = within_flat.shape[1]
     flat = within_flat.reshape(-1)
-    # lane: first l with lane_cum[l] > rank (ranks outside clamp to the end)
+    # lane: first l with lane_cum[l] > rank (ranks outside clamp to the end).
+    # One broadcast compare over the (ranks, nl) plane beats searchsorted
+    # ~15x on a v5e (VPU-friendly vs gather-per-step bisection).
     lane = jnp.clip(
-        jnp.searchsorted(lane_cum, ranks, side="right"), 0, nl - 1
+        jnp.sum((lane_cum[None, :] <= ranks[:, None]).astype(_I32), axis=1),
+        0, nl - 1,
     ).astype(_I32)
     base = jnp.where(lane > 0, lane_cum[jnp.maximum(lane - 1, 0)], 0)
     tgt = ranks - base + 1
@@ -426,20 +421,31 @@ def _compact_emissions(emit, cap: int, vals):
     return count, outs
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k", "w", "cap", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret")
+)
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
+                  multi: bool = False, starts=None, ends=None,
                   interpret: bool = False):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
     upload and the cap-bounded compacted outputs.  Exact when every k-mer is
     valid (the returned ``ok`` flag is False otherwise and callers fall back
-    to the compacting host path).
+    to the compacting general/host paths).
 
     codes_padded: int8[CHUNKS*L + code_rows] with CODE_INVALID padding.
     Returns (pos, lo, hi, count, ok): emissions in global window order with
     chunk-seam duplicates still present (host drops consecutive equal
     positions).
+
+    With ``multi=True``, the flat array holds whole records at ``starts``
+    with real ends ``ends`` (k-1 invalid separator bases between records).
+    For N-free records the record boundaries are pure masks on this fast
+    path — windows must fit inside one record's k-mer span and each
+    record's first window force-emits — so no stream compaction (and none
+    of the general path's re-chunk scatters) is needed.  ``ok`` then means
+    "every within-record k-mer is valid", i.e. the batch really is N-free.
     """
     nk = n - k + 1
     halo = w + k - 2
@@ -483,7 +489,19 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     gpos = chunk_iota * L + row_iota
     oob = gpos >= nk
     in_range = ~oob
-    ok = jnp.all((val == 1) | oob)
+    if multi:
+        nrec = starts.shape[0]
+        rec_of = jnp.clip(
+            jnp.searchsorted(starts, gpos, side="right") - 1, 0, nrec - 1
+        )
+        # k-mer at p is inside record r's valid span iff p + k <= ends[r]
+        in_rec = in_range & (gpos >= starts[rec_of]) & (
+            gpos + k <= ends[rec_of]
+        )
+        ok = jnp.all((val == 1) | ~in_rec)
+        in_range = in_rec
+    else:
+        ok = jnp.all((val == 1) | oob)
 
     mask = jnp.where(in_range, _U32(0), _U32(0xFFFFFFFF))
     h_lo = h_lo | mask
@@ -496,11 +514,8 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
     gm_hi = h_hi.transpose(1, 0, 2)
     l_arr = jnp.full((1,), L, _I32)
-    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(gm_lo, gm_hi, l_arr, w, interpret=interpret)
-    # back to row-major (rows_out, SUB, LANE)
-    w_lo = w_lo.transpose(1, 0, 2)
-    w_hi = w_hi.transpose(1, 0, 2)
-    w_ix = w_ix.transpose(1, 0, 2)
+    w_ix = _window_chunked.__wrapped__(gm_lo, gm_hi, l_arr, w, interpret=interpret)
+    w_ix = w_ix.transpose(1, 0, 2)  # back to row-major (rows_out, SUB, LANE)
     rows_out = w_ix.shape[0]
 
     row_io = jax.lax.optimization_barrier(
@@ -512,14 +527,32 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     )
     g_window = chunk_io * L + row_io
     own = (row_io < L) & (g_window < nw)
+    first_win = row_io == 0  # chunk seams: host dedupes the duplicate
+    if multi:
+        rec_of_w = jnp.clip(
+            jnp.searchsorted(starts, g_window, side="right") - 1,
+            0, starts.shape[0] - 1,
+        )
+        # window [g, g+w) of k-mers must fit inside one record's span
+        own &= (g_window >= starts[rec_of_w]) & (
+            g_window + w + k - 1 <= ends[rec_of_w]
+        )
+        # each record's first window force-emits (the preceding masked
+        # windows' argmin may alias it and poison the change detection)
+        first_win |= g_window == starts[rec_of_w]
     prev_ix = jnp.concatenate(
         [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
     )
-    emit = own & ((row_io == 0) | (w_ix != prev_ix))
+    emit = own & (first_win | (w_ix != prev_ix))
 
-    count, (out_pos, out_lo, out_hi) = _compact_emissions(
-        emit, cap, (w_ix, w_lo, w_hi)
-    )
+    count, (out_pos,) = _compact_emissions(emit, cap, (w_ix,))
+    # winning hash re-gathered by its position (pos = chunk*L + row in the
+    # start-indexed hash layout) — the window kernel only emits indices
+    h_row = out_pos % L
+    h_chunk = out_pos // L
+    h_flat = h_row * (_SUB * _LANE) + h_chunk
+    out_lo = h_lo.reshape(-1)[h_flat]
+    out_hi = h_hi.reshape(-1)[h_flat]
     return out_pos, out_lo, out_hi, count, ok
 
 
@@ -596,41 +629,50 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     rank = offs[None] + within - 1  # global stream rank where owned
     stream_count = jnp.sum(owned.astype(_I32))
 
-    # re-chunk the compacted stream: owned copy + previous chunk's halo copy
+    # re-chunk the compacted stream.  One scatter per hash word moves every
+    # owned element to its stream slot (1-wide scatters: a 2-wide row
+    # payload measured 5x SLOWER on a v5e).  The w-1-row halo each chunk
+    # needs from its successor's stream is just a chunk-axis shift of the
+    # owned region — stream continuity means halo row j of chunk c IS owned
+    # row j of chunk c+1 — a contiguous copy, not the second full scatter
+    # the original formulation paid.
     L2 = L  # static upper bound on per-chunk stream span
     nb2 = -(-(L2 + w - 1) // w) + 1
     rows_p2 = nb2 * w
     c_own = rank // L2
     r_own = rank - c_own * L2
-    flat_sz = rows_p2 * _CHUNKS
-    idx_own = jnp.where(owned, r_own * _CHUNKS + c_own, flat_sz)
-    r_halo = r_own + L2
-    halo_ok = owned & (c_own > 0) & (r_halo < rows_p2)
-    idx_halo = jnp.where(halo_ok, r_halo * _CHUNKS + (c_own - 1), flat_sz)
+    own_sz = L2 * _CHUNKS
+    idx_own = jnp.where(owned, r_own * _CHUNKS + c_own, own_sz).reshape(-1)
+    if L2 < w - 1:  # a window would span >2 chunks' streams
+        raise ValueError("fused-general layout needs L >= w - 1 rows/chunk")
+    hw = rows_p2 - L2  # halo rows per chunk (w - 1 rounded up to blocks)
+    take = min(hw, L2)  # rows past 2*L2 are never read by an owned window
 
-    # one scatter per buffer (own + halo indices concatenated): XLA scatter
-    # has a ~80 ms fixed cost on a v5e, so fewer-but-larger calls win
-    idx_all = jnp.concatenate([idx_own.reshape(-1), idx_halo.reshape(-1)])
-
-    def scatter2(vals, dtype, fill):
-        v = vals.reshape(-1)
-        buf = jnp.full(flat_sz, fill, dtype)
-        return buf.at[idx_all].set(
-            jnp.concatenate([v, v]), mode="drop"
+    def rechunk(vals):
+        own = jnp.full(own_sz, _MAXU, _U32).at[idx_own].set(
+            vals.reshape(-1), mode="drop"
+        ).reshape(L2, _CHUNKS)
+        halo = jnp.concatenate(
+            [own[:take, 1:], jnp.full((take, 1), _MAXU, _U32)], axis=1
+        )
+        if hw > take:
+            halo = jnp.concatenate(
+                [halo, jnp.full((hw - take, _CHUNKS), _MAXU, _U32)], axis=0
+            )
+        return jnp.concatenate([own, halo], axis=0).reshape(
+            rows_p2, _SUB, _LANE
         )
 
-    s_lo = scatter2(h_lo, _U32, _MAXU).reshape(rows_p2, _SUB, _LANE)
-    s_hi = scatter2(h_hi, _U32, _MAXU).reshape(rows_p2, _SUB, _LANE)
+    s_lo = rechunk(h_lo)
+    s_hi = rechunk(h_hi)
 
-    w_lo, w_hi, w_ix = _window_chunked.__wrapped__(
+    w_ix = _window_chunked.__wrapped__(
         s_lo.transpose(1, 0, 2),
         s_hi.transpose(1, 0, 2),
         jnp.full((1,), L2, _I32),
         w,
         interpret=interpret,
     )
-    w_lo = w_lo.transpose(1, 0, 2)
-    w_hi = w_hi.transpose(1, 0, 2)
     w_ix = w_ix.transpose(1, 0, 2)
     rows_out = w_ix.shape[0]
 
@@ -660,12 +702,16 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     )
     emit = own_win & (first_win | (w_ix != prev_ix))
 
-    count, (out_rank, out_lo, out_hi) = _compact_emissions(
-        emit, cap, (w_ix, w_lo, w_hi)
-    )
+    count, (out_rank,) = _compact_emissions(emit, cap, (w_ix,))
+    # winning hash re-gathered from the stream layout at the emitted rank
+    nl = _SUB * _LANE
+    s_row = out_rank % L2
+    s_chunk = out_rank // L2
+    s_flat = s_row * nl + s_chunk
+    out_lo = s_lo.reshape(-1)[s_flat]
+    out_hi = s_hi.reshape(-1)[s_flat]
     # decode stream rank -> genomic position by inverting the owned-flag
     # cumsum (replaces an nk-sized scatter with a cap-sized binary search)
-    nl = _SUB * _LANE
     src = _invert_ranks(
         within.reshape(own_rows, nl), jnp.cumsum(per_lane.reshape(-1)),
         out_rank, own_rows,
@@ -704,24 +750,33 @@ def sketch_codes_pallas(
     nk = n - k + 1
     halo = w + k - 2
     L = -(-nk // _CHUNKS)  # positions owned per chunk
-    if L < 4 * halo and not interpret:
+    if (L < 4 * halo and not interpret) or L < w:
+        # L < w would let a window span more than two chunks' streams
         return _host_sketch(codes, k, w)
 
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
     buf[:n] = codes
-    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
     dev = jnp.asarray(buf)
-    pos, lo, hi, count, ok = _sketch_fused(dev, n, k, w, cap, interpret=interpret)
-    if not bool(ok):
-        # N-containing record: device-side stream compaction path
-        pos, lo, hi, count, stream_count = _sketch_fused_general(
-            dev, jnp.zeros(1, jnp.int32), n, k, w, cap, interpret=interpret
+    # escalating emission caps: tight first (binary-search compaction cost
+    # scales with cap), a 4x retry for repeat-dense inputs, host for the
+    # truly pathological (emission density near 1/window)
+    for mult in (5, 20):
+        cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
+        pos, lo, hi, count, ok = _sketch_fused(
+            dev, n, k, w, cap, interpret=interpret
         )
-        if int(stream_count) < w:
-            return empty
-    cnt = int(count)
-    if cnt > cap:  # pathological emission density; the host path is exact
+        if not bool(ok):
+            # N-containing record: device-side stream compaction path
+            pos, lo, hi, count, stream_count = _sketch_fused_general(
+                dev, jnp.zeros(1, jnp.int32), n, k, w, cap, interpret=interpret
+            )
+            if int(stream_count) < w:
+                return empty
+        cnt = int(count)
+        if cnt <= cap:
+            break
+    else:  # pathological emission density; the host path is exact
         return _host_sketch(codes, k, w)
     if cnt == 0:
         return empty
@@ -747,7 +802,10 @@ def sketch_records_pallas(
 
     Records are concatenated with k-1 invalid separator bases (no k-mer
     spans two records) and sketched in ONE device program; per-record
-    window semantics are enforced by on-device stream-boundary masking.
+    window semantics are enforced by on-device boundary masking.  N-free
+    records ride the fast fused path (record boundaries are pure masks, no
+    stream compaction); records with interior Ns take the general
+    stream-compaction path — the two partitions run as separate batches.
     Small batches fall back to the per-record host path.
     """
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
@@ -774,15 +832,33 @@ def sketch_records_pallas(
     nk = max(total - k + 1, 0)
     halo = w + k - 2
     L = -(-max(nk, 1) // _CHUNKS)
-    if L < 4 * halo and not interpret:
+    if (L < 4 * halo and not interpret) or L < w:
+        # L < w would let a window span more than two chunks' streams
         return [_host_sketch(c, k, w) for c in codes_list]
 
+    # partition N-free vs N-containing records; route each kind to its path
+    clean = [not (np.asarray(c) >= CODE_INVALID).any() for c in codes_list]
+    if any(clean) and not all(clean):
+        out2: list[Sketch] = [empty] * len(codes_list)
+        for want in (True, False):
+            idxs = [i for i, cl in enumerate(clean) if cl == want]
+            if idxs:
+                sub = sketch_records_pallas(
+                    [codes_list[i] for i in idxs], k, w, interpret
+                )
+                for i, s in zip(idxs, sub):
+                    out2[i] = s
+        return out2
+    use_fast = bool(clean[0]) if clean else True
+
     offsets = np.zeros(len(codes_list), dtype=np.int32)
+    rec_ends = np.zeros(len(codes_list), dtype=np.int32)
     flat = np.full(total, CODE_INVALID, dtype=np.int8)
     cursor = 0
     for r, c in enumerate(codes_list):
         offsets[r] = cursor
         flat[cursor : cursor + c.shape[0]] = c
+        rec_ends[r] = cursor + c.shape[0]
         cursor += c.shape[0] + sep
 
     # pad the offsets array to a bucket size so R doesn't force recompiles;
@@ -793,17 +869,33 @@ def sketch_records_pallas(
         r_bucket *= 2
     offsets_p = np.full(r_bucket, total, dtype=np.int32)
     offsets_p[:n_rec] = offsets
+    ends_p = np.full(r_bucket, total, dtype=np.int32)
+    ends_p[:n_rec] = rec_ends
 
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
     buf[:total] = flat
-    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS + 2 * r_bucket
-    pos, lo, hi, count, _ = _sketch_fused_general(
-        jnp.asarray(buf), jnp.asarray(offsets_p), total, k, w, cap,
-        multi=True, interpret=interpret,
-    )
-    cnt = int(count)
-    if cnt > cap:
+    dev = jnp.asarray(buf)
+    offs_dev = jnp.asarray(offsets_p)
+    ends_dev = jnp.asarray(ends_p)
+    for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
+        cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+        if use_fast:
+            pos, lo, hi, count, ok = _sketch_fused(
+                dev, total, k, w, cap, multi=True, starts=offs_dev,
+                ends=ends_dev, interpret=interpret,
+            )
+            if not bool(ok):  # unexpected invalid k-mer: general is exact
+                use_fast = False
+        if not use_fast:
+            pos, lo, hi, count, _ = _sketch_fused_general(
+                dev, offs_dev, total, k, w, cap, multi=True,
+                interpret=interpret,
+            )
+        cnt = int(count)
+        if cnt <= cap:
+            break
+    else:
         return [_host_sketch(c, k, w) for c in codes_list]
     out: list[Sketch] = [empty] * n_rec
     if cnt == 0:

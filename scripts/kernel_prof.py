@@ -56,7 +56,7 @@ def main():
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
     buf[:n] = codes_np
-    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+    cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
     dev = jax.device_put(jnp.asarray(buf))
     tiny = jax.device_put(jnp.ones(128, jnp.float32))
     g1 = jax.jit(lambda y: y + 1)
@@ -89,13 +89,14 @@ def main():
     print(f"layout           : {dt*1e3:9.2f} ms", flush=True)
 
     x, x_lag = layout(dev)
-    x, x_lag = jax.block_until_ready((x, x_lag))
+    sync((x, x_lag))
 
     dt = timeit(lambda: _hash_chunked(x, x_lag, k))
     gb = n / dt / 1e9
     print(f"hash kernel      : {dt*1e3:9.2f} ms  {gb:7.3f} Gbp/s", flush=True)
 
-    h_lo, h_hi, val = jax.block_until_ready(_hash_chunked(x, x_lag, k))
+    h_lo, h_hi, val = _hash_chunked(x, x_lag, k)
+    sync(h_lo)
     hash_rows = L + w - 1
     nb = -(-hash_rows // w) + 1
     rows_p = nb * w
@@ -105,8 +106,9 @@ def main():
     h_hi2 = jnp.pad(h_hi[k - 1 : k - 1 + hash_rows],
                     ((0, rows_p - hash_rows), (0, 0), (0, 0)),
                     constant_values=_MAXU)
-    gm_lo = jax.block_until_ready(h_lo2.transpose(1, 0, 2))
-    gm_hi = jax.block_until_ready(h_hi2.transpose(1, 0, 2))
+    gm_lo = h_lo2.transpose(1, 0, 2)
+    gm_hi = h_hi2.transpose(1, 0, 2)
+    sync((gm_lo, gm_hi))
     l_arr = jnp.full((1,), L, jnp.int32)
 
     dt = timeit(lambda: _window_chunked(gm_lo, gm_hi, l_arr, w))

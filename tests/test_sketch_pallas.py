@@ -77,3 +77,37 @@ def test_batched_records_parity():
         ref = sketch_codes(codes, 15, 10)
         assert sk.positions.tolist() == ref.positions.tolist()
         assert sk.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_batched_dirty_records_general_path():
+    """All-N-containing batch large enough to stay on the device general
+    path (stream compaction) in interpret mode."""
+    from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+    rng = np.random.default_rng(44)
+    records = []
+    for ln in [9000, 7000]:
+        codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+        codes[ln // 3 : ln // 3 + 120] = 4  # interior N run
+        records.append(codes)
+    got = sketch_records_pallas(records, 15, 10, interpret=True)
+    for codes, sk in zip(records, got):
+        ref = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == ref.positions.tolist()
+        assert sk.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_batched_clean_records_fast_path():
+    """All-clean batch rides the fused fast path with boundary masks."""
+    from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+    rng = np.random.default_rng(45)
+    records = [
+        rng.integers(0, 4, size=ln).astype(np.uint8)
+        for ln in [8000, 40, 6000, 2000, 9]
+    ]
+    got = sketch_records_pallas(records, 15, 10, interpret=True)
+    for codes, sk in zip(records, got):
+        ref = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == ref.positions.tolist()
+        assert sk.hashes.tolist() == ref.hashes.tolist()
