@@ -1,17 +1,20 @@
-"""Benchmark: minimizer sketch throughput.
+"""Benchmark: minimizer sketch throughput + end-to-end scaffolding wall.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N}
 
 Headline metric: device sketch throughput (hash + windowed argmin +
 emission compaction, device-resident) at the reference's default scale
-parameters (k=32, w=1000) via the Pallas kernels.  ``vs_baseline`` compares
-against the native C++ rolling sketcher — the stand-in for the reference's
-single-node btllib indexlr, which is not installable in this image.
+parameters (k=32, w=1000) via the fused Pallas pipeline.  ``vs_baseline``
+compares against the native C++ rolling sketcher — the stand-in for the
+reference's single-node btllib indexlr, which is not installable in this
+image.
 
-A watchdog probes accelerator availability in a subprocess first; when no
-healthy device is reachable the benchmark reports the host paths instead
-(detail.device records which path ran).
+Every TPU-touching measurement runs in its OWN subprocess, sequentially:
+the axon tunnel serves one process at a time, jax.block_until_ready is a
+no-op over it (sync = host fetch of a scalar), and a wedged stage then
+costs one timeout instead of the whole benchmark.  detail.device records
+whether the device path actually ran.
 """
 import json
 import os
@@ -24,75 +27,87 @@ sys.path.insert(0, _REPO)
 
 import numpy as np
 
+_SUB_PRELUDE = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+import numpy as np, jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', {cache!r})
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+"""
 
-def _device_available(timeout: float = 60.0) -> bool:
-    """Probe accelerator health in a throwaway subprocess (init can hang)."""
-    code = (
-        "import jax, jax.numpy as jnp\n"
-        "x = jnp.ones(128)\n"
-        "assert float(x.sum()) == 128.0\n"
-        "print('OK')\n"
-    )
+
+def _run_sub(body: str, timeout: float):
+    """Run a device measurement in a throwaway subprocess; parse its last
+    JSON line.  Returns None on failure/timeout (device treated as down)."""
+    code = _SUB_PRELUDE.format(
+        repo=_REPO, cache=os.path.join(_REPO, ".jax_cache")
+    ) + body
     try:
         res = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
+            capture_output=True, text=True, timeout=timeout,
         )
-        return "OK" in res.stdout
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        return None
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
-def _enable_compile_cache():
-    import jax
+_DEVICE_BODY = """
+from ntjoin_tpu.constants import CODE_INVALID
+from ntjoin_tpu.ops.sketch_pallas import (_CHUNKS, _ROW_BLOCK, _ceil_to,
+    _sketch_fused, sketch_records_pallas)
 
-    cache_dir = os.path.join(_REPO, ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+size = {size}
+k, w = 32, 1000
+rng = np.random.default_rng(42)
+codes = rng.integers(0, 4, size=size).astype(np.int8)
 
+# fused single-record throughput (sync = fetch of the count scalar)
+nk = size - k + 1
+halo = w + k - 2
+L = -(-nk // _CHUNKS)
+code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
+buf[:size] = codes
+cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
+dev = jnp.asarray(buf)
+out = _sketch_fused(dev, size, k, w, cap)
+cnt = int(out[3])
+assert bool(out[4]) and 0 < cnt <= cap, (cnt, cap)
+ts = []
+for _ in range(3):
+    t0 = time.monotonic()
+    out = _sketch_fused(dev, size, k, w, cap)
+    cnt = int(out[3])
+    ts.append(time.monotonic() - t0)
+fused_bps = size / min(ts)
 
-def bench_device(codes_np, k, w, repeats=5):
-    """Fused Pallas pipeline, device-resident (no large host transfers)."""
-    import jax
-    import jax.numpy as jnp
+# whole-assembly batched path (N-free records ride the fast fused path)
+recs = [codes[i:i + 2_000_000] for i in range(0, size, 2_000_000)]
+t0 = time.monotonic()
+sketch_records_pallas(recs, k, w)
+t1 = time.monotonic()
+sketch_records_pallas(recs, k, w)  # steady-state (first call compiles)
+multi_bps = size / (time.monotonic() - t1)
 
-    from ntjoin_tpu.constants import CODE_INVALID
-    from ntjoin_tpu.ops.sketch_pallas import (
-        _CHUNKS,
-        _ROW_BLOCK,
-        _ceil_to,
-        _sketch_fused,
-    )
+# N-rich general path (stream compaction on device)
+codes_n = codes.copy()
+for s in rng.integers(0, size - 600, 100):
+    codes_n[s:s + 500] = CODE_INVALID
+recs_n = [codes_n[i:i + 2_000_000] for i in range(0, size, 2_000_000)]
+sketch_records_pallas(recs_n, k, w)
+t0 = time.monotonic()
+sketch_records_pallas(recs_n, k, w)
+general_bps = size / (time.monotonic() - t0)
 
-    n = codes_np.shape[0]
-    nk = n - k + 1
-    halo = w + k - 2
-    L = -(-nk // _CHUNKS)
-    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
-    buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
-    buf[:n] = codes_np
-    cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
-    dev = jax.device_put(jnp.asarray(buf))
-
-    def run():
-        out = _sketch_fused(dev, n, k, w, cap)
-        # force completion with a host fetch of the count scalar:
-        # jax.block_until_ready is a NO-OP over the axon TPU relay, so a
-        # wall-clock around it times dispatch, not the device program.
-        return int(out[3]), out
-
-    cnt, out = run()  # compile + warm
-    assert bool(out[4]), "fused path invalid for this input"
-    assert 0 < cnt <= cap, f"implausible emission count {cnt}"
-    ts = []
-    for _ in range(repeats):
-        t0 = time.monotonic()
-        run()
-        ts.append(time.monotonic() - t0)
-    return n / min(ts)
+print(json.dumps({{"fused_bps": fused_bps, "multi_bps": multi_bps,
+                   "general_bps": general_bps}}))
+"""
 
 
 def bench_host_native(codes_np, k, w):
@@ -113,7 +128,7 @@ def bench_host_oracle(codes_np, k, w):
     return codes_np.shape[0] / (time.monotonic() - t0)
 
 
-def bench_e2e(size_mbp: int = 30) -> float:
+def bench_e2e(size_mbp: int = 30, backend: str = "native") -> float:
     """Synthetic end-to-end scaffolding wall time: one reference genome,
     target split into oriented 50 kbp contigs, full pipeline to artifacts."""
     import shutil
@@ -142,42 +157,62 @@ def bench_e2e(size_mbp: int = 30) -> float:
         t0 = time.monotonic()
         res = subprocess.run(
             [sys.executable, "-m", "ntjoin_tpu.cli", "assemble",
-             "backend=native", "target=target.fa", "references=ref.fa",
+             f"backend={backend}", "target=target.fa", "references=ref.fa",
              "reference_weights=2", "prefix=bench", "k=32", "w=1000", "n=2",
              "overlap=False"],
-            cwd=workdir, capture_output=True, text=True,
-            env=dict(os.environ, PYTHONPATH=_REPO),
+            cwd=workdir, capture_output=True, text=True, timeout=1800,
+            # APPEND to PYTHONPATH: the original contains /root/.axon_site
+            # whose sitecustomize registers the TPU backend — replacing it
+            # would leave JAX_PLATFORMS=axon pointing at nothing
+            env=dict(
+                os.environ,
+                PYTHONPATH=_REPO + ":" + os.environ.get("PYTHONPATH", ""),
+            ),
         )
         wall = time.monotonic() - t0
         if res.returncode != 0:
             return -1.0
         return wall
+    except subprocess.TimeoutExpired:
+        return -1.0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
 def main():
     k, w = 32, 1000
-    size = int(os.environ.get("BENCH_SIZE", 1 << 24))  # 16.8 Mbp
+    size = int(os.environ.get("BENCH_SIZE", 1 << 27))  # 134 Mbp
     rng = np.random.default_rng(42)
-    codes = rng.integers(0, 4, size=size).astype(np.uint8)
+    codes = rng.integers(0, 4, size=min(size, 1 << 24)).astype(np.uint8)
 
-    host_n = min(size, 1 << 24)
-    native_bps = bench_host_native(codes[:host_n], k, w)
+    native_bps = bench_host_native(codes, k, w)
     baseline_bps = native_bps or bench_host_oracle(codes[: 1 << 22], k, w)
 
-    device = "tpu"
-    if _device_available():
-        _enable_compile_cache()
-        try:
-            main_bps = bench_device(codes, k, w)
-        except Exception as exc:  # pragma: no cover
-            print(f"device bench failed: {exc}", file=sys.stderr)
-            device = "host-fallback"
-            main_bps = baseline_bps
+    dev = _run_sub(_DEVICE_BODY.format(size=size), timeout=1500)
+    detail = {
+        "k": k,
+        "w": w,
+        "bases": size,
+        "baseline": "native C++ rolling sketcher"
+        if native_bps
+        else "numpy oracle",
+        "baseline_gbps": round(baseline_bps / 1e9, 4),
+    }
+    if dev is not None:
+        device = "tpu"
+        main_bps = dev["fused_bps"]
+        detail["multi_record_gbps"] = round(dev["multi_bps"] / 1e9, 4)
+        detail["general_n_rich_gbps"] = round(dev["general_bps"] / 1e9, 4)
     else:
         device = "host-fallback"
         main_bps = baseline_bps
+    detail["device"] = device
+
+    detail["e2e_scaffold_30mbp_wall_s"] = round(bench_e2e(30, "native"), 2)
+    if device == "tpu":
+        detail["e2e_scaffold_30mbp_tpu_wall_s"] = round(
+            bench_e2e(30, "pallas"), 2
+        )
 
     print(
         json.dumps(
@@ -186,17 +221,7 @@ def main():
                 "value": round(main_bps / 1e9, 4),
                 "unit": "Gbp/s",
                 "vs_baseline": round(main_bps / baseline_bps, 2),
-                "detail": {
-                    "k": k,
-                    "w": w,
-                    "bases": size,
-                    "device": device,
-                    "baseline": "native C++ rolling sketcher"
-                    if native_bps
-                    else "numpy oracle",
-                    "baseline_gbps": round(baseline_bps / 1e9, 4),
-                    "e2e_scaffold_30mbp_wall_s": round(bench_e2e(30), 2),
-                },
+                "detail": detail,
             }
         )
     )

@@ -121,11 +121,15 @@ def _sketch_backend(name: str):
     """
     if name in ("pallas", "tpu") or (name == "auto" and _device_healthy()):
         from ntjoin_tpu.ops.sketch_pallas import sketch_codes_pallas
+        from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
 
+        enable_compile_cache()
         return sketch_codes_pallas
     if name == "jax":
         from ntjoin_tpu.ops.sketch_jax import sketch_codes_jax
+        from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
 
+        enable_compile_cache()
         return sketch_codes_jax
     if name in ("auto", "native"):
         from ntjoin_tpu.io.native import available, sketch_codes_native

@@ -186,7 +186,9 @@ def shared_index_device(assemblies):
     SharedIndex-compatible object whose arrays came off the device.
     """
     from ntjoin_tpu.core.assembly import SharedIndex
+    from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
 
+    enable_compile_cache()
     n_asm = len(assemblies)
     lens = [a.hash.shape[0] for a in assemblies]
     total = sum(lens)

@@ -425,8 +425,7 @@ def _compact_emissions(emit, cap: int, vals):
     jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret")
 )
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
-                  multi: bool = False, starts=None, ends=None,
-                  interpret: bool = False):
+                  multi: bool = False, interpret: bool = False):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -439,13 +438,15 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     chunk-seam duplicates still present (host drops consecutive equal
     positions).
 
-    With ``multi=True``, the flat array holds whole records at ``starts``
-    with real ends ``ends`` (k-1 invalid separator bases between records).
-    For N-free records the record boundaries are pure masks on this fast
-    path — windows must fit inside one record's k-mer span and each
-    record's first window force-emits — so no stream compaction (and none
-    of the general path's re-chunk scatters) is needed.  ``ok`` then means
-    "every within-record k-mer is valid", i.e. the batch really is N-free.
+    With ``multi=True``, the flat array holds whole N-free records joined
+    by k-1 invalid separator bases (the caller pre-verifies cleanliness).
+    Record boundaries then need no lookup tables at all: the k-mer
+    validity bit IS the in-record mask (the only invalid k-mers are the
+    separator-crossing ones), a window is alive iff all w of its k-mers
+    are valid (a cumsum row-shift in the chunk layout — windows never
+    leave their lane's row range), and each record's first window is
+    exactly a false->true edge of that window-valid mask.  No stream
+    compaction, no scatters, no per-element searchsorted.
     """
     nk = n - k + 1
     halo = w + k - 2
@@ -490,16 +491,11 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     oob = gpos >= nk
     in_range = ~oob
     if multi:
-        nrec = starts.shape[0]
-        rec_of = jnp.clip(
-            jnp.searchsorted(starts, gpos, side="right") - 1, 0, nrec - 1
-        )
-        # k-mer at p is inside record r's valid span iff p + k <= ends[r]
-        in_rec = in_range & (gpos >= starts[rec_of]) & (
-            gpos + k <= ends[rec_of]
-        )
-        ok = jnp.all((val == 1) | ~in_rec)
-        in_range = in_rec
+        # caller pre-verified every record is N-free, so val==1 is exactly
+        # "k-mer lies inside a record" (separator-crossing k-mers are the
+        # only invalid ones)
+        ok = jnp.asarray(True)
+        in_range &= val == 1
     else:
         ok = jnp.all((val == 1) | oob)
 
@@ -529,17 +525,25 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     own = (row_io < L) & (g_window < nw)
     first_win = row_io == 0  # chunk seams: host dedupes the duplicate
     if multi:
-        rec_of_w = jnp.clip(
-            jnp.searchsorted(starts, g_window, side="right") - 1,
-            0, starts.shape[0] - 1,
+        # a window is alive iff all w of its k-mers are valid (it fits one
+        # record); windows stay inside their lane's rows, so this is a
+        # cumsum + two row-shifted slices — no per-element lookups
+        val_p = jnp.pad(val, ((0, pad_rows), (0, 0), (0, 0)))
+        vcum = jnp.cumsum(val_p, axis=0)
+        upper = jax.lax.slice_in_dim(vcum, w - 1, w - 1 + rows_out)
+        lower = jnp.concatenate(
+            [jnp.zeros((1, _SUB, _LANE), vcum.dtype), vcum[: rows_out - 1]],
+            axis=0,
         )
-        # window [g, g+w) of k-mers must fit inside one record's span
-        own &= (g_window >= starts[rec_of_w]) & (
-            g_window + w + k - 1 <= ends[rec_of_w]
+        win_valid = (upper - lower) == w
+        own &= win_valid
+        # each record's first window = false->true edge of win_valid; it
+        # force-emits (the preceding masked windows' argmin may alias it
+        # and poison the change detection)
+        prev_valid = jnp.concatenate(
+            [jnp.zeros((1, _SUB, _LANE), bool), win_valid[:-1]], axis=0
         )
-        # each record's first window force-emits (the preceding masked
-        # windows' argmin may alias it and poison the change detection)
-        first_win |= g_window == starts[rec_of_w]
+        first_win |= win_valid & ~prev_valid
     prev_ix = jnp.concatenate(
         [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
     )
@@ -610,16 +614,6 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     )
     gpos = chunk_iota * L + row_iota
     owned = (val == 1) & (gpos < nk)
-    if multi:
-        nrec = offsets.shape[0]
-        rec_of_pos = jnp.clip(
-            jnp.searchsorted(offsets, gpos, side="right") - 1, 0, nrec - 1
-        )
-        rec_counts = jnp.zeros(nrec, _I32).at[
-            jnp.where(owned, rec_of_pos, nrec).reshape(-1)
-        ].add(1, mode="drop")
-        # stream boundaries: segment r = [bounds[r], bounds[r+1])
-        bounds = jnp.concatenate([jnp.zeros(1, _I32), jnp.cumsum(rec_counts)])
 
     within = jnp.cumsum(owned.astype(_I32), axis=0)
     per_lane = within[-1]  # (SUB, LANE), lane order == chunk order
@@ -628,6 +622,21 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     ).reshape(_SUB, _LANE)
     rank = offs[None] + within - 1  # global stream rank where owned
     stream_count = jnp.sum(owned.astype(_I32))
+
+    if multi:
+        # stream rank of each record's first k-mer = #owned before its
+        # offset — a handful of gathers into the per-lane cumsum, not a
+        # 100M-element searchsorted
+        nl_ = _SUB * _LANE
+        within_f = within.reshape(own_rows, nl_)
+        offs_f = offs.reshape(-1)
+        p = jnp.minimum(offsets.astype(_I32), _I32(max(nk - 1, 0)))
+        pc = p // L
+        pr = p % L
+        before = offs_f[pc] + jnp.where(
+            pr > 0, within_f[jnp.maximum(pr - 1, 0), pc], 0
+        )
+        bounds = jnp.where(offsets >= nk, stream_count, before)
 
     # re-chunk the compacted stream.  One scatter per hash word moves every
     # owned element to its stream slot (1-wide scatters: a 2-wide row
@@ -666,6 +675,25 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     s_lo = rechunk(h_lo)
     s_hi = rechunk(h_hi)
 
+    if multi:
+        # record-start flags in the stream layout (tiny scatter + the same
+        # halo shift), so window/record masking below is row arithmetic
+        bc = bounds // L2
+        br = bounds % L2
+        b_slots = jnp.where(bounds < stream_count, br * _CHUNKS + bc, own_sz)
+        bb = jnp.zeros(own_sz, _I32).at[b_slots].set(1, mode="drop").reshape(
+            L2, _CHUNKS
+        )
+        bhalo = jnp.concatenate(
+            [bb[:take, 1:], jnp.zeros((take, 1), _I32)], axis=1
+        )
+        if hw > take:
+            bhalo = jnp.concatenate(
+                [bhalo, jnp.zeros((hw - take, _CHUNKS), _I32)], axis=0
+            )
+        bflag = jnp.concatenate([bb, bhalo], axis=0)
+        bcum = jnp.cumsum(bflag, axis=0)
+
     w_ix = _window_chunked.__wrapped__(
         s_lo.transpose(1, 0, 2),
         s_hi.transpose(1, 0, 2),
@@ -687,16 +715,18 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     own_win = (row_io < L2) & (g_window < (stream_count - w + 1))
     first_win = row_io == 0  # chunk seams: host dedupes the duplicate
     if multi:
-        # window [s, s+w) must lie inside one record's stream segment
-        rec_of_win = jnp.clip(
-            jnp.searchsorted(bounds, g_window, side="right") - 1,
-            0, offsets.shape[0] - 1,
-        )
-        own_win &= (g_window + w) <= bounds[rec_of_win + 1]
+        # window [s, s+w) must lie inside one record's stream segment —
+        # i.e. no record-start flag in ranks (s, s+w): two row-shifted
+        # slices of the boundary cumsum
+        upper_b = jax.lax.slice_in_dim(bcum, w - 1, w - 1 + rows_out)
+        base_b = jax.lax.slice_in_dim(bcum, 0, rows_out)
+        own_win &= ((upper_b - base_b) == 0).reshape(rows_out, _SUB, _LANE)
         # each record's first real window always emits (the preceding
         # stream windows are masked cross-record ones whose argmin may
         # alias it and poison the change-detection chain)
-        first_win |= g_window == bounds[rec_of_win]
+        first_win |= (
+            jax.lax.slice_in_dim(bflag, 0, rows_out) == 1
+        ).reshape(rows_out, _SUB, _LANE)
     prev_ix = jnp.concatenate(
         [jnp.full((1, _SUB, _LANE), -1, _I32), w_ix[:-1]], axis=0
     )
@@ -852,13 +882,11 @@ def sketch_records_pallas(
     use_fast = bool(clean[0]) if clean else True
 
     offsets = np.zeros(len(codes_list), dtype=np.int32)
-    rec_ends = np.zeros(len(codes_list), dtype=np.int32)
     flat = np.full(total, CODE_INVALID, dtype=np.int8)
     cursor = 0
     for r, c in enumerate(codes_list):
         offsets[r] = cursor
         flat[cursor : cursor + c.shape[0]] = c
-        rec_ends[r] = cursor + c.shape[0]
         cursor += c.shape[0] + sep
 
     # pad the offsets array to a bucket size so R doesn't force recompiles;
@@ -869,24 +897,18 @@ def sketch_records_pallas(
         r_bucket *= 2
     offsets_p = np.full(r_bucket, total, dtype=np.int32)
     offsets_p[:n_rec] = offsets
-    ends_p = np.full(r_bucket, total, dtype=np.int32)
-    ends_p[:n_rec] = rec_ends
 
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
     buf[:total] = flat
     dev = jnp.asarray(buf)
     offs_dev = jnp.asarray(offsets_p)
-    ends_dev = jnp.asarray(ends_p)
     for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
         cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
         if use_fast:
             pos, lo, hi, count, ok = _sketch_fused(
-                dev, total, k, w, cap, multi=True, starts=offs_dev,
-                ends=ends_dev, interpret=interpret,
+                dev, total, k, w, cap, multi=True, interpret=interpret
             )
-            if not bool(ok):  # unexpected invalid k-mer: general is exact
-                use_fast = False
         if not use_fast:
             pos, lo, hi, count, _ = _sketch_fused_general(
                 dev, offs_dev, total, k, w, cap, multi=True,

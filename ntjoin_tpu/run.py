@@ -19,45 +19,42 @@ def parse_arguments(argv=None):
     parser = argparse.ArgumentParser(
         description="ntjoin-tpu: scaffolding genome assemblies using reference "
         "assemblies and minimizer graphs (TPU-native engine)",
-        epilog="Note: each input minimizer TSV file must have a matching fasta "
-        "file.\nExample: myscaffolds.fa.k32.w1000.tsv - myscaffolds.fa is the "
-        "expected matching fasta",
+        epilog="Each TSV must sit next to the FASTA it was sketched from;\n"
+        "the FASTA name is recovered from the TSV name "
+        "(myscaffolds.fa.k32.w1000.tsv -> myscaffolds.fa).",
         formatter_class=argparse.RawTextHelpFormatter,
     )
-    parser.add_argument("FILES", nargs="+", help="Minimizer TSV files of references")
-    parser.add_argument("-s", help="Target scaffolds minimizer TSV file", required=True)
-    parser.add_argument("-l", help="Weight of target genome assembly [1]",
+    parser.add_argument("FILES", nargs="+", help="reference-assembly minimizer TSVs, one per assembly")
+    parser.add_argument("-s", help="minimizer TSV of the target draft assembly", required=True)
+    parser.add_argument("-l", help="graph weight carried by the target assembly [1]",
                         default=1, type=float)
-    parser.add_argument("-r", help="List of reference assembly weights (in quotes, "
-                        "space separated, same order as the TSV files)",
+    parser.add_argument("-r", help="per-reference graph weights: quoted, space-separated, "
+                        "ordered like FILES",
                         required=True, type=str)
-    parser.add_argument("-p", help="Output prefix [out]", default="out", type=str)
-    parser.add_argument("-n", help="Minimum edge weight [1]", default=1, type=int)
-    parser.add_argument("-k", help="Kmer size used for minimizer step",
+    parser.add_argument("-p", help="artifact name prefix [out]", default="out", type=str)
+    parser.add_argument("-n", help="edge-weight floor for the minimizer graph [1]", default=1, type=int)
+    parser.add_argument("-k", help="k-mer length the sketches were built with",
                         required=True, type=int)
-    parser.add_argument("-g", help="Minimum gap size (bp)", default=20, type=int)
-    parser.add_argument("-G", help="Maximum gap size (bp) (0 = no maximum)",
+    parser.add_argument("-g", help="floor for estimated gap lengths, bp [20]", default=20, type=int)
+    parser.add_argument("-G", help="cap for estimated gap lengths, bp; 0 disables the cap",
                         default=0, type=int)
-    parser.add_argument("--mkt", help="Use Mann-Kendall Test to orient contigs "
-                        "(slower, overrides m)", action="store_true")
-    parser.add_argument("-m", help="Require at least m%% of minimizer positions "
-                        "to be increasing/decreasing to assign orientation [90]",
+    parser.add_argument("--mkt", help="orient contigs with the Mann-Kendall trend test "
+                        "(costlier; takes precedence over -m)", action="store_true")
+    parser.add_argument("-m", help="orientation vote threshold: %% of monotone position "
+                        "pairs needed to call a strand [90]",
                         default=90, type=int)
-    parser.add_argument("-t", help="Number of threads [1]", default=1, type=int)
+    parser.add_argument("-t", help="path-finding worker count [1]", default=1, type=int)
     parser.add_argument("-v", "--version", action="version",
                         version="ntjoin-tpu 0.1.0")
-    parser.add_argument("--agp", help="Output AGP file describing scaffolds",
+    parser.add_argument("--agp", help="also emit the scaffold layout as AGP",
                         action="store_true")
-    parser.add_argument("--no_cut", help="Do not cut input contigs, place in "
-                        "most representative path", action="store_true")
-    parser.add_argument("--overlap", help="Attempt to detect and trim "
-                        "overlapping joined sequences", action="store_true")
-    parser.add_argument("--overlap_gap", help="Gap length between trimmed "
-                        "overlapping segments [20]", type=int, default=20)
-    parser.add_argument("--overlap_k", help="Kmer size for overlap minimizer "
-                        "step [15]", type=int, default=15)
-    parser.add_argument("--overlap_w", help="Window size for overlap minimizer "
-                        "step [10]", type=int, default=10)
+    parser.add_argument("--no_cut", help="never cut contigs; assign each whole contig to its "
+                        "best-supported path", action="store_true")
+    parser.add_argument("--overlap", help="re-sketch junctions to find and trim overlapping "
+                        "joined ends", action="store_true")
+    parser.add_argument("--overlap_gap", help="gap inserted between trimmed overlap ends, bp [20]", type=int, default=20)
+    parser.add_argument("--overlap_k", help="k-mer length for the junction re-sketch [15]", type=int, default=15)
+    parser.add_argument("--overlap_w", help="window length for the junction re-sketch [10]", type=int, default=10)
     parser.add_argument("--btllib_t", help="Reader/sketcher thread count "
                         "(accepted for CLI parity) [4]", type=int, default=4)
 
