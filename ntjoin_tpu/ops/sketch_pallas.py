@@ -27,6 +27,7 @@ enforced by ``tests/test_sketch_pallas.py``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -791,22 +792,29 @@ def sketch_codes_pallas(
     # escalating emission caps: tight first (binary-search compaction cost
     # scales with cap), a 4x retry for repeat-dense inputs, host for the
     # truly pathological (emission density near 1/window)
-    for mult in (5, 20):
-        cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
-        pos, lo, hi, count, ok = _sketch_fused(
-            dev, n, k, w, cap, interpret=interpret
-        )
-        if not bool(ok):
-            # N-containing record: device-side stream compaction path
-            pos, lo, hi, count, stream_count = _sketch_fused_general(
-                dev, jnp.zeros(1, jnp.int32), n, k, w, cap, interpret=interpret
+    try:
+        for mult in (5, 20):
+            cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
+            pos, lo, hi, count, ok = _sketch_fused(
+                dev, n, k, w, cap, interpret=interpret
             )
-            if int(stream_count) < w:
-                return empty
-        cnt = int(count)
-        if cnt <= cap:
-            break
-    else:  # pathological emission density; the host path is exact
+            if not bool(ok):
+                # N-containing record: device-side stream compaction path
+                pos, lo, hi, count, stream_count = _sketch_fused_general(
+                    dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
+                    interpret=interpret,
+                )
+                if int(stream_count) < w:
+                    return empty
+            cnt = int(count)
+            if cnt <= cap:
+                break
+        else:  # pathological emission density; the host path is exact
+            return _host_sketch(codes, k, w)
+    except Exception:
+        if interpret:  # interpret mode = tests: never mask real bugs
+            raise
+        # device failure (HBM pressure, tunnel loss, ...): host is exact
         return _host_sketch(codes, k, w)
     if cnt == 0:
         return empty
@@ -841,10 +849,15 @@ def sketch_records_pallas(
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     sep = k - 1
     total = sum(int(c.shape[0]) + sep for c in codes_list)
-    # int32 stream-index guard: device positions are i32, so one batch must
-    # stay under 2^31 flat bases.  Larger assemblies (>2.1 Gbp) are split
-    # into sub-batches — records are independent, batching is efficiency.
-    _I32_SAFE = (1 << 31) - (1 << 20)
+    # Batch-size ceiling, the tighter of two limits: (a) device positions
+    # are i32 (2^31 flat bases); (b) the fused pipeline keeps ~50 B of
+    # intermediates per base live, so one batch must fit HBM (v5e: 16 GB
+    # -> ~200 Mbp per call).  Larger assemblies are split into sub-batches
+    # — records are independent, batching is efficiency.
+    _I32_SAFE = min(
+        (1 << 31) - (1 << 20),
+        int(os.environ.get("NTJOIN_TPU_BATCH_BASES", 192 * 2**20)),
+    )
     if total > _I32_SAFE:
         out: list[Sketch] = []
         batch: list[np.ndarray] = []
@@ -903,21 +916,26 @@ def sketch_records_pallas(
     buf[:total] = flat
     dev = jnp.asarray(buf)
     offs_dev = jnp.asarray(offsets_p)
-    for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
-        cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
-        if use_fast:
-            pos, lo, hi, count, ok = _sketch_fused(
-                dev, total, k, w, cap, multi=True, interpret=interpret
-            )
-        if not use_fast:
-            pos, lo, hi, count, _ = _sketch_fused_general(
-                dev, offs_dev, total, k, w, cap, multi=True,
-                interpret=interpret,
-            )
-        cnt = int(count)
-        if cnt <= cap:
-            break
-    else:
+    try:
+        for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
+            cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+            if use_fast:
+                pos, lo, hi, count, ok = _sketch_fused(
+                    dev, total, k, w, cap, multi=True, interpret=interpret
+                )
+            else:
+                pos, lo, hi, count, _ = _sketch_fused_general(
+                    dev, offs_dev, total, k, w, cap, multi=True,
+                    interpret=interpret,
+                )
+            cnt = int(count)
+            if cnt <= cap:
+                break
+        else:
+            return [_host_sketch(c, k, w) for c in codes_list]
+    except Exception:
+        if interpret:  # interpret mode = tests: never mask real bugs
+            raise
         return [_host_sketch(c, k, w) for c in codes_list]
     out: list[Sketch] = [empty] * n_rec
     if cnt == 0:
