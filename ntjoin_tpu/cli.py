@@ -51,6 +51,7 @@ _DEFAULTS = {
     "m": "90",
     "no_cut": "False",
     "time": "False",
+    "gzip": "False",
     "prefix": "",
     "backend": "auto",
     # filter/graph stage: host | device | auto (device iff the sketch
@@ -276,8 +277,37 @@ def assemble(words: list[str]) -> int:
             if os.path.exists(part):
                 with open(part, encoding="utf-8") as fh:
                     out.write(fh.read())
+    if _truthy(v["gzip"]):
+        # mirror of the reference's ``%.fa.gz: %.fa`` rule (ntJoin:109-114,
+        # 210-211): pigz -p$t -f when available, else gzip -f — either way
+        # the uncompressed file is replaced by ``<file>.gz``
+        for part in (
+            f"{base}.assigned.scaffolds.fa",
+            f"{base}.unassigned.scaffolds.fa",
+            f"{base}.all.scaffolds.fa",
+        ):
+            if os.path.exists(part):
+                _gzip_artifact(part, threads=int(v["t"]))
     timers.report()
     return 0
+
+
+def _gzip_artifact(path: str, threads: int = 4) -> str:
+    """Compress ``path`` in place to ``path.gz`` (pigz > gzip > stdlib)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("pigz"):
+        subprocess.run(["pigz", f"-p{threads}", "-f", path], check=True)
+    elif shutil.which("gzip"):
+        subprocess.run(["gzip", "-f", path], check=True)
+    else:  # stdlib fallback so the rule works in tool-less images
+        import gzip as _gz
+
+        with open(path, "rb") as src, _gz.open(path + ".gz", "wb") as dst:
+            shutil.copyfileobj(src, dst)
+        os.remove(path)
+    return path + ".gz"
 
 
 def analysis(words: list[str]) -> int:

@@ -23,16 +23,36 @@ def _norm_sf(x: float) -> float:
 def mann_kendall(positions: Sequence[int], alpha: float = 0.05):
     """Return (trend, h, p, z) of the MK original test."""
     n = len(positions)
-    s = 0
-    for i in range(n - 1):
-        for j in range(i + 1, n):
-            d = positions[j] - positions[i]
-            s += (d > 0) - (d < 0)
-    # tie correction
-    counts: dict[int, int] = {}
-    for x in positions:
-        counts[x] = counts.get(x, 0) + 1
-    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in counts.values())
+    if n > 128:
+        # exact vectorized S / tie terms for long runs: the pairwise sign
+        # sum and tie counts are pure-integer, so blocked NumPy reproduces
+        # the loop bit-for-bit at ~100x the speed (the reference flags
+        # --mkt as "computationally-intensive"; this keeps it usable on
+        # long contig runs).  Block rows so live memory stays ~32 MB.
+        import numpy as np
+
+        x = np.asarray(positions, dtype=np.int64)
+        idx = np.arange(n)
+        s = 0
+        blk = max(1, (1 << 22) // n)
+        for i0 in range(0, n - 1, blk):
+            i1 = min(i0 + blk, n - 1)
+            d = x[None, :] - x[i0:i1, None]  # (b, n) = x_j - x_i
+            after = idx[None, :] > idx[i0:i1, None]  # j > i
+            s += int(np.sum(np.sign(d), where=after, dtype=np.int64))
+        _, t = np.unique(x, return_counts=True)
+        tie_term = int(np.sum(t * (t - 1) * (2 * t + 5)))
+    else:
+        s = 0
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                d = positions[j] - positions[i]
+                s += (d > 0) - (d < 0)
+        # tie correction
+        counts: dict[int, int] = {}
+        for x in positions:
+            counts[x] = counts.get(x, 0) + 1
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in counts.values())
     var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
     if s > 0:
         z = (s - 1) / math.sqrt(var_s)

@@ -398,18 +398,45 @@ def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
     return r * nl + lane
 
 
-def _compact_emissions(emit, cap: int, vals):
-    """Rank-compact ``vals`` where ``emit`` is set, in (chunk, row) order.
+_COMPACT_MODE = os.environ.get("NTJOIN_TPU_COMPACT", "topk")
 
-    emit: (rows, SUB, LANE) bool; vals: tuple of same-shape arrays.  Returns
-    (count, [v[emit] padded to cap]).  Pure cumsum + binary-search + gather —
-    no large scatters (see _invert_ranks for why that matters on TPU).
+
+def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
+    """Rank-compact ``vals`` where ``emit`` is set, in ascending ``order``.
+
+    emit: (rows, SUB, LANE) bool; order: same-shape i32, unique among
+    emitted elements and ascending in (chunk, row) order; vals: tuple of
+    same-shape arrays.  Returns (count, [v[emit] padded to cap]).
+
+    Two scatter-free strategies (scatters are the chip's slowest primitive):
+
+    * ``topk`` (default): one ``lax.top_k`` over ``-order`` keyed elements —
+      descending -order = ascending order, non-emitted keyed INT32_MIN sort
+      last; values gathered at the returned flat indices.
+    * ``bsearch``: per-lane cumsum + monotone-inverse binary search
+      (_invert_ranks) + gather — the round-2 baseline, kept for comparison
+      and as a fallback (``NTJOIN_TPU_COMPACT=bsearch``).
     """
+    count = jnp.sum(emit.astype(_I32))
+    if (mode or _COMPACT_MODE) == "topk":
+        key = jnp.where(emit, -order, jnp.int32(-(2**31)))
+        k_eff = min(cap, emit.size)
+        _, ki = jax.lax.top_k(key.reshape(-1), k_eff)
+        if k_eff < cap:
+            ki = jnp.pad(ki, (0, cap - k_eff))
+        o = jax.lax.optimization_barrier(
+            jax.lax.broadcasted_iota(_I32, (cap, 1), 0)
+        )[:, 0]
+        live = o < count
+        outs = tuple(
+            jnp.where(live, v.reshape(-1)[ki], jnp.zeros((), v.dtype))
+            for v in vals
+        )
+        return count, outs
     rows = emit.shape[0]
     nl = _SUB * _LANE
     within = jnp.cumsum(emit.astype(_I32), axis=0).reshape(rows, nl)
     lane_cum = jnp.cumsum(within[-1])
-    count = lane_cum[-1]
     o = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (cap, 1), 0)
     )[:, 0]
@@ -458,21 +485,22 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     rows_p = nb * w
     nw = nk - w + 1
 
-    codes = codes_padded.astype(_I32)
     # chunk layout rows [s*L, (s+1)*L) come from the flat array shifted by
     # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
-    # halos longer than L
+    # halos longer than L.  The transposes run on int8 (1 B/base of HBM
+    # traffic); the i32 widening the kernel wants happens after layout.
     sections = -(-(L + halo) // L)
     blocks = [
-        codes[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+        codes_padded[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
         for s in range(sections)
     ]
-    x = jnp.concatenate(blocks, axis=0)[: L + halo]
-    x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
-    x = x.reshape(code_rows, _SUB, _LANE)
+    x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+    x8 = jnp.pad(x8, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
+    x8 = x8.reshape(code_rows, _SUB, _LANE)
+    x = x8.astype(_I32)
     x_lag = jnp.pad(
-        x[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
-    )
+        x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
+    ).astype(_I32)
 
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
@@ -550,7 +578,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     )
     emit = own & (first_win | (w_ix != prev_ix))
 
-    count, (out_pos,) = _compact_emissions(emit, cap, (w_ix,))
+    count, (out_pos,) = _compact_emissions(emit, g_window, cap, (w_ix,))
     # winning hash re-gathered by its position (pos = chunk*L + row in the
     # start-indexed hash layout) — the window kernel only emits indices
     h_row = out_pos % L
@@ -562,19 +590,24 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret")
+    jax.jit,
+    static_argnames=("n", "k", "w", "cap", "cap_seg", "multi", "interpret"),
 )
 def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
-                          cap: int, multi: bool = False,
-                          interpret: bool = False):
+                          cap: int, cap_seg: int = 4096,
+                          multi: bool = False, interpret: bool = False):
     """Fused sketch with device-resident valid-k-mer compaction (N-safe).
 
     Generalises ``_sketch_fused``: after hashing, owned valid k-mers are
-    ranked with a cumsum, scattered into a re-chunked stream layout (owned
-    copy plus the previous chunk's halo copy), and the window stage runs on
-    the compacted stream — windows slide over valid k-mers exactly like the
-    oracle.  Returns (pos, lo, hi, count): emissions in stream order with
-    chunk-seam duplicates still present.
+    ranked with a cumsum, gathered into a re-chunked stream layout (owned
+    copy plus the previous chunk's halo copy) via per-segment inverse maps,
+    and the window stage runs on the compacted stream — windows slide over
+    valid k-mers exactly like the oracle.  ``cap_seg`` statically bounds the
+    owned-run (segment) count; callers derive it from a host-side count of
+    invalid-base runs and must verify the returned ``seg_count <= cap_seg``
+    (an overflow means the stream layout is incomplete — fall back).
+    Returns (pos, lo, hi, count, stream_count, seg_count): emissions in
+    stream order with chunk-seam duplicates still present.
 
     With ``multi=True``, ``offsets`` holds each record's start in the flat
     concatenation (records separated by k-1 invalid bases): per-record
@@ -587,18 +620,18 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     L = -(-nk // _CHUNKS)
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
 
-    codes = codes_padded.astype(_I32)
     sections = -(-(L + halo) // L)
     blocks = [
-        codes[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+        codes_padded[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
         for s in range(sections)
     ]
-    x = jnp.concatenate(blocks, axis=0)[: L + halo]
-    x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
-    x = x.reshape(code_rows, _SUB, _LANE)
+    x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+    x8 = jnp.pad(x8, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
+    x8 = x8.reshape(code_rows, _SUB, _LANE)
+    x = x8.astype(_I32)
     x_lag = jnp.pad(
-        x[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
-    )
+        x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
+    ).astype(_I32)
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
     # owned valid k-mers (halo copies excluded) ranked in genomic order
@@ -639,29 +672,69 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
         )
         bounds = jnp.where(offsets >= nk, stream_count, before)
 
-    # re-chunk the compacted stream.  One scatter per hash word moves every
-    # owned element to its stream slot (1-wide scatters: a 2-wide row
-    # payload measured 5x SLOWER on a v5e).  The w-1-row halo each chunk
-    # needs from its successor's stream is just a chunk-axis shift of the
-    # owned region — stream continuity means halo row j of chunk c IS owned
-    # row j of chunk c+1 — a contiguous copy, not the second full scatter
-    # the original formulation paid.
+    # re-chunk the compacted stream WITHOUT full-size scatters.  A "segment"
+    # is a maximal run of owned k-mers within one chunk's rows: inside it,
+    # stream ranks and source rows advance in lockstep, so the inverse map
+    # rank -> (source row, source chunk) is (s + d, c) with (d, c) constant
+    # per segment.  Segments are few (<= #invalid-runs + #chunks + 1, host-
+    # counted into the static ``cap_seg``): compact their descriptors, paint
+    # (d, c) over rank space with two tiny diff-scatters + carried cumsums,
+    # then ONE gather per hash word builds the stream layout.  This replaces
+    # the two owned-size scatters of the first design — measured ~2.4 s at
+    # 2^27 on a v5e (scatter = 80 ms fixed + ~4 ns/elem) vs ~1 ms/1M-index
+    # gathers.
     L2 = L  # static upper bound on per-chunk stream span
     nb2 = -(-(L2 + w - 1) // w) + 1
     rows_p2 = nb2 * w
-    c_own = rank // L2
-    r_own = rank - c_own * L2
     own_sz = L2 * _CHUNKS
-    idx_own = jnp.where(owned, r_own * _CHUNKS + c_own, own_sz).reshape(-1)
     if L2 < w - 1:  # a window would span >2 chunks' streams
         raise ValueError("fused-general layout needs L >= w - 1 rows/chunk")
     hw = rows_p2 - L2  # halo rows per chunk (w - 1 rounded up to blocks)
     take = min(hw, L2)  # rows past 2*L2 are never read by an owned window
 
-    def rechunk(vals):
-        own = jnp.full(own_sz, _MAXU, _U32).at[idx_own].set(
-            vals.reshape(-1), mode="drop"
-        ).reshape(L2, _CHUNKS)
+    nl = _SUB * _LANE
+    prev_owned = jnp.concatenate(
+        [jnp.zeros((1, _SUB, _LANE), bool), owned[:-1]], axis=0
+    )
+    seg_start = owned & ~prev_owned  # row resets split runs at chunk seams
+    seg_count, (seg_rank, seg_d, seg_c) = _compact_emissions(
+        seg_start, rank, cap_seg, (rank, row_iota - rank, chunk_iota)
+    )
+    live_seg = (
+        jax.lax.optimization_barrier(
+            jax.lax.broadcasted_iota(_I32, (cap_seg, 1), 0)
+        )[:, 0]
+        < seg_count
+    )
+    # rank s lives at dest slot [s % L2, s // L2] of the (L2, CHUNKS)
+    # layout; s-order there = per-column cumsum + carried column bases
+    slot = jnp.where(
+        live_seg, (seg_rank % L2) * _CHUNKS + seg_rank // L2, own_sz
+    )
+
+    def _paint(vals):
+        prev = jnp.concatenate([jnp.zeros(1, _I32), vals[:-1]])
+        a = jnp.zeros(own_sz, _I32).at[slot].set(vals - prev, mode="drop")
+        cs = jnp.cumsum(a.reshape(L2, _CHUNKS), axis=0)
+        base = jnp.concatenate(
+            [jnp.zeros(1, _I32), jnp.cumsum(cs[-1])[:-1]]
+        )
+        return cs + base[None, :]
+
+    d_arr = _paint(seg_d)  # src_row(s) - s, per dest slot
+    c_arr = _paint(seg_c)  # source chunk of rank s, per dest slot
+    r_io2 = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (L2, _CHUNKS), 0)
+    )
+    c_io2 = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (L2, _CHUNKS), 1)
+    )
+    s_arr = c_io2 * L2 + r_io2
+    live_s = s_arr < stream_count
+    src_flat = (s_arr + d_arr) * nl + c_arr  # dead slots masked below
+
+    def _stream(h):
+        own = jnp.where(live_s, h.reshape(-1)[src_flat], _MAXU)
         halo = jnp.concatenate(
             [own[:take, 1:], jnp.full((take, 1), _MAXU, _U32)], axis=1
         )
@@ -673,8 +746,8 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
             rows_p2, _SUB, _LANE
         )
 
-    s_lo = rechunk(h_lo)
-    s_hi = rechunk(h_hi)
+    s_lo = _stream(h_lo)
+    s_hi = _stream(h_hi)
 
     if multi:
         # record-start flags in the stream layout (tiny scatter + the same
@@ -733,22 +806,38 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     )
     emit = own_win & (first_win | (w_ix != prev_ix))
 
-    count, (out_rank,) = _compact_emissions(emit, cap, (w_ix,))
+    count, (out_rank,) = _compact_emissions(emit, g_window, cap, (w_ix,))
     # winning hash re-gathered from the stream layout at the emitted rank
-    nl = _SUB * _LANE
     s_row = out_rank % L2
     s_chunk = out_rank // L2
     s_flat = s_row * nl + s_chunk
     out_lo = s_lo.reshape(-1)[s_flat]
     out_hi = s_hi.reshape(-1)[s_flat]
-    # decode stream rank -> genomic position by inverting the owned-flag
-    # cumsum (replaces an nk-sized scatter with a cap-sized binary search)
-    src = _invert_ranks(
-        within.reshape(own_rows, nl), jnp.cumsum(per_lane.reshape(-1)),
-        out_rank, own_rows,
-    )
-    out_pos = (src % nl).astype(_I32) * L + (src // nl)
-    return out_pos, out_lo, out_hi, count, stream_count
+    # decode stream rank -> genomic position via the painted (d, c) maps:
+    # gpos = c*L + src_row = c*L + rank + d (two cap-sized gathers replacing
+    # a second full binary-search inversion of the owned-flag cumsum)
+    j = s_row * _CHUNKS + s_chunk
+    out_pos = c_arr.reshape(-1)[j] * L + out_rank + d_arr.reshape(-1)[j]
+    return out_pos, out_lo, out_hi, count, stream_count, seg_count
+
+
+def _seg_cap(flat: np.ndarray) -> int:
+    """Static segment bound for the general path's re-chunk.
+
+    Owned-run (segment) count is at most #invalid-base-runs + #chunks + 1
+    (each invalid run kills one contiguous k-mer block; chunk seams split
+    runs).  Bucketed to powers of two so run-count jitter between inputs
+    doesn't force recompiles of the jitted pipeline.
+    """
+    inv = np.asarray(flat) >= CODE_INVALID
+    runs = 0
+    if inv.size:
+        runs = int(inv[0]) + int(np.count_nonzero(inv[1:] & ~inv[:-1]))
+    need = runs + _CHUNKS + 64
+    cap = 4096
+    while cap < need:
+        cap *= 2
+    return cap
 
 
 def _host_sketch(codes: np.ndarray, k: int, w: int) -> Sketch:
@@ -800,10 +889,15 @@ def sketch_codes_pallas(
             )
             if not bool(ok):
                 # N-containing record: device-side stream compaction path
-                pos, lo, hi, count, stream_count = _sketch_fused_general(
-                    dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
-                    interpret=interpret,
+                cseg = _seg_cap(codes)
+                pos, lo, hi, count, stream_count, seg_count = (
+                    _sketch_fused_general(
+                        dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
+                        cap_seg=cseg, interpret=interpret,
+                    )
                 )
+                if int(seg_count) > cseg:  # stream layout incomplete
+                    return _host_sketch(codes, k, w)
                 if int(stream_count) < w:
                     return empty
             cnt = int(count)
@@ -924,10 +1018,13 @@ def sketch_records_pallas(
                     dev, total, k, w, cap, multi=True, interpret=interpret
                 )
             else:
-                pos, lo, hi, count, _ = _sketch_fused_general(
-                    dev, offs_dev, total, k, w, cap, multi=True,
-                    interpret=interpret,
+                cseg = _seg_cap(flat)
+                pos, lo, hi, count, _, seg_count = _sketch_fused_general(
+                    dev, offs_dev, total, k, w, cap, cap_seg=cseg,
+                    multi=True, interpret=interpret,
                 )
+                if int(seg_count) > cseg:  # stream layout incomplete
+                    return [_host_sketch(c, k, w) for c in codes_list]
             cnt = int(count)
             if cnt <= cap:
                 break

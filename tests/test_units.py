@@ -313,3 +313,110 @@ def test_more_sequences_golden(tmp_path):
         tmp_path / "target.fa.k32.w250.n2.unassigned.scaffolds.fa"
     ).read_text()
     assert ">floating1" in unassigned and ">floating2" in unassigned
+
+
+def test_mann_kendall_vectorized_long_run_parity():
+    """The blocked-NumPy long-run path (n > 128) is bit-identical to the
+    reference-semantics pair loop (pymannkendall original_test numerics)."""
+    rng = np.random.default_rng(77)
+
+    def mk_loop(positions, alpha=0.05):
+        n = len(positions)
+        s = 0
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                d = positions[j] - positions[i]
+                s += (d > 0) - (d < 0)
+        counts = {}
+        for x in positions:
+            counts[x] = counts.get(x, 0) + 1
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in counts.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        return s, tie, z
+
+    for trial in range(3):
+        # noisy increasing trend with repeats (ties exercise the correction)
+        pos = np.cumsum(rng.integers(-2, 5, size=400)).tolist()
+        trend, h, p, z = mann_kendall(pos)
+        _, _, z_ref = mk_loop(pos)
+        assert z == z_ref
+
+
+def test_cli_gzip_artifact_rule(tmp_path):
+    """gzip=True replaces the scaffold FASTAs with .gz files whose content
+    round-trips (mirror of the reference's %.fa.gz rule, ntJoin:109-114)."""
+    import gzip as gz
+
+    rng = np.random.default_rng(5)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=20_000))
+    (tmp_path / "ref.fa").write_text(f">g\n{genome}\n")
+    (tmp_path / "target.fa").write_text(
+        f">a\n{genome[:10030]}\n>b\n{genome[10000:]}\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+         "backend=numpy", "target=target.fa", "references=ref.fa",
+         "reference_weights=2", "k=32", "w=250", "n=2", "prefix=gzt",
+         "overlap=False", "gzip=True"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr + res.stdout
+    base = tmp_path / "target.fa.k32.w250.n2"
+    for kind in ("assigned", "unassigned", "all"):
+        plain = tmp_path / f"target.fa.k32.w250.n2.{kind}.scaffolds.fa"
+        packed = tmp_path / f"target.fa.k32.w250.n2.{kind}.scaffolds.fa.gz"
+        assert packed.exists(), kind
+        assert not plain.exists(), kind
+    with gz.open(str(base) + ".all.scaffolds.fa.gz", "rt") as fh:
+        body = fh.read()
+    assert body.startswith(">")
+    assert genome[:200] in body  # content survived the compression round-trip
+
+
+def test_find_paths_scales_past_pool_territory():
+    """The vectorized escalation + native chain walk handles a component
+    count where the reference needed its multiprocessing pool
+    (ntjoin.py:164-176): 50K components, each with a branch edge the
+    escalating filter must remove, in one lockstep pass."""
+    import time
+    from types import SimpleNamespace
+
+    from ntjoin_tpu.graph.mingraph import MinimizerGraph
+    from ntjoin_tpu.graph.paths import find_paths
+
+    ncomp = 50_000
+    nodes_per = 5  # a-b-c-d chain + branch node e hanging off c
+    num_nodes = ncomp * nodes_per
+    base = np.arange(ncomp, dtype=np.int64) * nodes_per
+    src = np.concatenate([base, base + 1, base + 2, base + 2])
+    dst = np.concatenate([base + 1, base + 2, base + 3, base + 4])
+    weight = np.concatenate([
+        np.full(ncomp, 2.0), np.full(ncomp, 2.0), np.full(ncomp, 2.0),
+        np.full(ncomp, 1.0),  # the weak branch edge
+    ])
+    support = np.ones(src.shape[0], dtype=np.int64)
+    graph = MinimizerGraph(num_nodes, src.astype(np.int64),
+                           dst.astype(np.int64), weight, support)
+    shared = SimpleNamespace(
+        assemblies=[SimpleNamespace(weight=2.0)],
+        pos=np.arange(num_nodes, dtype=np.int64)[None, :],
+    )
+    t0 = time.monotonic()
+    paths, total = find_paths(graph, shared, n_min=2.0)
+    wall = time.monotonic() - t0
+    assert total == ncomp
+    assert len(paths) == ncomp
+    first, _ = paths[0]
+    assert first == [0, 1, 2, 3]
+    last, _ = paths[-1]
+    assert last == [(ncomp - 1) * nodes_per + i for i in range(4)]
+    # the reference forked a pool for this; lockstep must stay sane single-
+    # process (generous CI bound — measured ~2 s on the 2-CPU container)
+    assert wall < 60.0
