@@ -371,10 +371,12 @@ def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
 
     ``within_flat``: (rows, NL) per-lane inclusive cumsum of a flag array in
     (row, lane) layout; ``lane_cum``: (NL,) inclusive cumsum of the per-lane
-    totals in lane order.  Monotone-inverse by binary search: measured on a
-    v5e, a 25-step descent for 70K ranks costs ~7 ms where the equivalent
-    18M-element XLA scatter costs ~85 ms — gathers of ``ranks``-sized batches
-    are near-free, random scatters are the chip's slowest primitive.
+    totals in lane order.  Monotone-inverse by radix descent: gathers of
+    ``ranks``-sized batches are near-free while random scatters are the
+    chip's slowest primitive, and round LATENCY (dependent probes), not
+    probe count, dominates — so 7 independent probes per round (one wide
+    gather) over log8(rows) rounds beat the log2(rows) one-probe rounds of
+    plain bisection (measured ~4 ms/round for 340K ranks on a v5e).
     """
     nl = within_flat.shape[1]
     flat = within_flat.reshape(-1)
@@ -387,18 +389,25 @@ def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
     ).astype(_I32)
     base = jnp.where(lane > 0, lane_cum[jnp.maximum(lane - 1, 0)], 0)
     tgt = ranks - base + 1
-    # row: lower bound of tgt in within_flat[:, lane] (power-of-two descent)
+    # row: lower bound of tgt in within_flat[:, lane].  Radix-8: r stays the
+    # largest span-multiple lower bound; passing candidates are a prefix of
+    # j by monotonicity, so advancing by their count is exact.
+    span = 1
+    while span * 8 < rows:
+        span *= 8
     r = jnp.zeros_like(ranks)
-    for b in range((rows).bit_length() - 1, -1, -1):
-        cand = r + (1 << b)
-        probe = flat[(jnp.minimum(cand, rows) - 1) * nl + lane]
-        ok = (cand <= rows) & (probe < tgt)
-        r = jnp.where(ok, cand, r)
+    j7 = jnp.arange(1, 8, dtype=jnp.int32)
+    while span >= 1:
+        cand = r[:, None] + j7[None, :] * span  # (ranks, 7)
+        probe = flat[(jnp.minimum(cand, rows) - 1) * nl + lane[:, None]]
+        ok = (cand <= rows) & (probe < tgt[:, None])
+        r = r + span * jnp.sum(ok.astype(_I32), axis=1)
+        span //= 8
     r = jnp.minimum(r, rows - 1)
     return r * nl + lane
 
 
-_COMPACT_MODE = os.environ.get("NTJOIN_TPU_COMPACT", "topk")
+_COMPACT_MODE = os.environ.get("NTJOIN_TPU_COMPACT", "bsearch")
 
 
 def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
@@ -410,12 +419,14 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
 
     Two scatter-free strategies (scatters are the chip's slowest primitive):
 
-    * ``topk`` (default): one ``lax.top_k`` over ``-order`` keyed elements —
+    * ``bsearch`` (default): per-lane cumsum + monotone-inverse binary
+      search (_invert_ranks) + gather.
+    * ``topk``: one ``lax.top_k`` over ``-order`` keyed elements —
       descending -order = ascending order, non-emitted keyed INT32_MIN sort
-      last; values gathered at the returned flat indices.
-    * ``bsearch``: per-lane cumsum + monotone-inverse binary search
-      (_invert_ranks) + gather — the round-2 baseline, kept for comparison
-      and as a fallback (``NTJOIN_TPU_COMPACT=bsearch``).
+      last; values gathered at the returned flat indices.  Measured on a
+      v5e @ 2^24 (cap 43K over 16.7M elements) this LOST to bsearch 82 ms
+      vs 37 ms — XLA TopK cost grows with k, so it only pays for small-k
+      selections; kept selectable via ``NTJOIN_TPU_COMPACT=topk``.
     """
     count = jnp.sum(emit.astype(_I32))
     if (mode or _COMPACT_MODE) == "topk":
@@ -707,22 +718,48 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
         < seg_count
     )
     # rank s lives at dest slot [s % L2, s // L2] of the (L2, CHUNKS)
-    # layout; s-order there = per-column cumsum + carried column bases
-    slot = jnp.where(
-        live_seg, (seg_rank % L2) * _CHUNKS + seg_rank // L2, own_sz
+    # layout; s-order there = per-column cumsum + carried column bases.
+    # All painted sections (d diffs, c diffs, multi record-start flags)
+    # ride ONE scatter over a concatenated index space — an XLA scatter
+    # costs ~80 ms FIXED on a v5e regardless of update count, so op count,
+    # not payload, is what matters.
+    nsec = 3 if multi else 2
+    oob = _I32(nsec * own_sz)  # dropped by mode="drop"
+    dest = (seg_rank % L2) * _CHUNKS + seg_rank // L2
+
+    def _diff(vals):
+        prev = jnp.concatenate([jnp.zeros(1, _I32), vals[:-1]])
+        return vals - prev
+
+    idxs = [
+        jnp.where(live_seg, dest, oob),
+        jnp.where(live_seg, own_sz + dest, oob),
+    ]
+    upds = [_diff(seg_d), _diff(seg_c)]
+    if multi:
+        bc = bounds // L2
+        br = bounds % L2
+        idxs.append(
+            jnp.where(
+                bounds < stream_count, 2 * own_sz + br * _CHUNKS + bc, oob
+            )
+        )
+        upds.append(jnp.ones_like(bounds, _I32))
+    painted = jnp.zeros(nsec * own_sz, _I32).at[jnp.concatenate(idxs)].set(
+        jnp.concatenate(upds), mode="drop"
     )
 
-    def _paint(vals):
-        prev = jnp.concatenate([jnp.zeros(1, _I32), vals[:-1]])
-        a = jnp.zeros(own_sz, _I32).at[slot].set(vals - prev, mode="drop")
-        cs = jnp.cumsum(a.reshape(L2, _CHUNKS), axis=0)
+    def _colcum(a2d):
+        cs = jnp.cumsum(a2d, axis=0)
         base = jnp.concatenate(
             [jnp.zeros(1, _I32), jnp.cumsum(cs[-1])[:-1]]
         )
         return cs + base[None, :]
 
-    d_arr = _paint(seg_d)  # src_row(s) - s, per dest slot
-    c_arr = _paint(seg_c)  # source chunk of rank s, per dest slot
+    d_arr = _colcum(painted[:own_sz].reshape(L2, _CHUNKS))  # src_row(s) - s
+    c_arr = _colcum(
+        painted[own_sz : 2 * own_sz].reshape(L2, _CHUNKS)
+    )  # source chunk of rank s
     r_io2 = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (L2, _CHUNKS), 0)
     )
@@ -750,14 +787,10 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     s_hi = _stream(h_hi)
 
     if multi:
-        # record-start flags in the stream layout (tiny scatter + the same
-        # halo shift), so window/record masking below is row arithmetic
-        bc = bounds // L2
-        br = bounds % L2
-        b_slots = jnp.where(bounds < stream_count, br * _CHUNKS + bc, own_sz)
-        bb = jnp.zeros(own_sz, _I32).at[b_slots].set(1, mode="drop").reshape(
-            L2, _CHUNKS
-        )
+        # record-start flags in the stream layout (painted by the combined
+        # scatter above + the same halo shift), so window/record masking
+        # below is row arithmetic
+        bb = painted[2 * own_sz :].reshape(L2, _CHUNKS)
         bhalo = jnp.concatenate(
             [bb[:take, 1:], jnp.zeros((take, 1), _I32)], axis=1
         )
