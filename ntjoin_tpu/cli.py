@@ -310,6 +310,17 @@ def _gzip_artifact(path: str, threads: int = 4) -> str:
     return path + ".gz"
 
 
+def _resolve_fasta(path: str) -> str | None:
+    """Existing path for a FASTA artifact, accepting the gzip=True variant
+    (``assemble gzip=True`` replaces ``<fa>`` with ``<fa>.gz``; minimap2,
+    QUAST and our reader all take gzipped FASTA directly)."""
+    if os.path.exists(path):
+        return path
+    if os.path.exists(path + ".gz"):
+        return path + ".gz"
+    return None
+
+
 def analysis(words: list[str]) -> int:
     """Alignment/QUAST evaluation of inputs and outputs vs a truth reference
     (mirror of the reference's ``analysis`` Make target, ``ntJoin:158-161``)."""
@@ -331,7 +342,8 @@ def analysis(words: list[str]) -> int:
     ]
     try:
         for fa in targets:
-            if os.path.exists(fa):
+            fa = _resolve_fasta(fa)
+            if fa is not None:
                 bam = align_to_reference(fa, ref, threads=int(v["t"]))
                 print(f"aligned {fa} -> {bam}")
     except MissingToolError as exc:
@@ -358,9 +370,14 @@ def quast(words: list[str]) -> int:
     k, w, n = int(v["k"]), int(v["w"]), int(v["n"])
     prefix = v["prefix"] or f"out.k{k}.w{w}.n{n}"
     references = v["references"].split() if v["references"] != "None" else []
-    assemblies = references + [
-        v["target"],
-        f"{v['target']}.k{k}.w{w}.n{n}.all.scaffolds.fa",
+    assemblies = [
+        fa
+        for fa in (
+            _resolve_fasta(p)
+            for p in references
+            + [v["target"], f"{v['target']}.k{k}.w{w}.n{n}.all.scaffolds.fa"]
+        )
+        if fa is not None
     ]
     try:
         report = run_quast(

@@ -88,12 +88,18 @@ def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
     v = node_ids[1:]
     same = (ctg_ids[1:] == ctg_ids[:-1]) & (asm_ids[1:] == asm_ids[:-1])
     # no 64-bit composite keys (TPU path runs without x64): sort the pair
-    # lexicographically with a sentinel column pushing dead slots last
+    # lexicographically with a sentinel column pushing dead slots last;
+    # assembly id as the tertiary key groups a pair's repeated supports so
+    # the bitmask below can OR each assembly's bit exactly once (the
+    # reference appends repeated support, ``ntjoin_utils.py:100-108``, so a
+    # pair adjacent twice in one assembly is legal input — a plain
+    # scatter-add of ``1 << a`` would carry into the next assembly's bit)
     lo = jnp.where(same, jnp.minimum(u, v), num_nodes).astype(jnp.int32)
     hi = jnp.where(same, jnp.maximum(u, v), num_nodes).astype(jnp.int32)
-    order = jnp.lexsort((hi, lo))
+    a_all = asm_ids[:-1]
+    order = jnp.lexsort((a_all, hi, lo))
     lo_s, hi_s = lo[order], hi[order]
-    a_s = asm_ids[:-1][order]
+    a_s = a_all[order]
     alive = lo_s < num_nodes
     new_group = jnp.concatenate(
         [jnp.ones(1, bool), (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
@@ -102,9 +108,18 @@ def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
     nseg = lo_s.shape[0]
     w = jnp.asarray(weights)[a_s]
     weight = jnp.zeros(nseg, w.dtype).at[seg].add(jnp.where(alive, w, 0.0))
-    # support bitmask (device path caps at 32 assemblies; host path has none)
+    # support bitmask: each (pair, assembly) contributes its bit once —
+    # repeats of the same assembly within a group are adjacent after the
+    # sort, so only the first of each assembly run adds its bit
+    first_of_asm = new_group | jnp.concatenate(
+        [jnp.ones(1, bool), a_s[1:] != a_s[:-1]]
+    )
     support = jnp.zeros(nseg, jnp.uint32).at[seg].add(
-        jnp.where(alive, jnp.uint32(1) << a_s.astype(jnp.uint32), jnp.uint32(0))
+        jnp.where(
+            alive & first_of_asm,
+            jnp.uint32(1) << a_s.astype(jnp.uint32),
+            jnp.uint32(0),
+        )
     )
     # representative pair per group id (all elements of a group share it)
     g_lo = jnp.full(nseg, num_nodes, jnp.int32).at[seg].min(lo_s)

@@ -461,10 +461,11 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret")
+    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode")
 )
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
-                  multi: bool = False, interpret: bool = False):
+                  multi: bool = False, interpret: bool = False,
+                  mode: str = "bsearch"):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -589,7 +590,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     )
     emit = own & (first_win | (w_ix != prev_ix))
 
-    count, (out_pos,) = _compact_emissions(emit, g_window, cap, (w_ix,))
+    count, (out_pos,) = _compact_emissions(emit, g_window, cap, (w_ix,), mode)
     # winning hash re-gathered by its position (pos = chunk*L + row in the
     # start-indexed hash layout) — the window kernel only emits indices
     h_row = out_pos % L
@@ -602,11 +603,14 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "k", "w", "cap", "cap_seg", "multi", "interpret"),
+    static_argnames=(
+        "n", "k", "w", "cap", "cap_seg", "multi", "interpret", "mode"
+    ),
 )
 def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
                           cap: int, cap_seg: int = 4096,
-                          multi: bool = False, interpret: bool = False):
+                          multi: bool = False, interpret: bool = False,
+                          mode: str = "bsearch"):
     """Fused sketch with device-resident valid-k-mer compaction (N-safe).
 
     Generalises ``_sketch_fused``: after hashing, owned valid k-mers are
@@ -709,7 +713,7 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     )
     seg_start = owned & ~prev_owned  # row resets split runs at chunk seams
     seg_count, (seg_rank, seg_d, seg_c) = _compact_emissions(
-        seg_start, rank, cap_seg, (rank, row_iota - rank, chunk_iota)
+        seg_start, rank, cap_seg, (rank, row_iota - rank, chunk_iota), mode
     )
     live_seg = (
         jax.lax.optimization_barrier(
@@ -724,7 +728,9 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     # costs ~80 ms FIXED on a v5e regardless of update count, so op count,
     # not payload, is what matters.
     nsec = 3 if multi else 2
-    oob = _I32(nsec * own_sz)  # dropped by mode="drop"
+    # clamp: nsec*own_sz can pass 2^31 for ~1 Gbp N-containing records; any
+    # index >= nsec*own_sz is dropped by mode="drop" either way
+    oob = _I32(min(nsec * own_sz, 2**31 - 1))  # dropped by mode="drop"
     dest = (seg_rank % L2) * _CHUNKS + seg_rank // L2
 
     def _diff(vals):
@@ -839,7 +845,7 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     )
     emit = own_win & (first_win | (w_ix != prev_ix))
 
-    count, (out_rank,) = _compact_emissions(emit, g_window, cap, (w_ix,))
+    count, (out_rank,) = _compact_emissions(emit, g_window, cap, (w_ix,), mode)
     # winning hash re-gathered from the stream layout at the emitted rank
     s_row = out_rank % L2
     s_chunk = out_rank // L2
@@ -914,19 +920,22 @@ def sketch_codes_pallas(
     # escalating emission caps: tight first (binary-search compaction cost
     # scales with cap), a 4x retry for repeat-dense inputs, host for the
     # truly pathological (emission density near 1/window)
+    cmode = _COMPACT_MODE  # read at call time so overrides retrace
+    cseg = None
     try:
         for mult in (5, 20):
             cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
             pos, lo, hi, count, ok = _sketch_fused(
-                dev, n, k, w, cap, interpret=interpret
+                dev, n, k, w, cap, interpret=interpret, mode=cmode
             )
             if not bool(ok):
                 # N-containing record: device-side stream compaction path
-                cseg = _seg_cap(codes)
+                if cseg is None:  # hoisted: codes don't change across retries
+                    cseg = _seg_cap(codes)
                 pos, lo, hi, count, stream_count, seg_count = (
                     _sketch_fused_general(
                         dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
-                        cap_seg=cseg, interpret=interpret,
+                        cap_seg=cseg, interpret=interpret, mode=cmode,
                     )
                 )
                 if int(seg_count) > cseg:  # stream layout incomplete
@@ -1043,18 +1052,20 @@ def sketch_records_pallas(
     buf[:total] = flat
     dev = jnp.asarray(buf)
     offs_dev = jnp.asarray(offsets_p)
+    cmode = _COMPACT_MODE  # read at call time so overrides retrace
+    cseg = _seg_cap(flat) if not use_fast else None  # hoisted out of retries
     try:
         for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
             cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
             if use_fast:
                 pos, lo, hi, count, ok = _sketch_fused(
-                    dev, total, k, w, cap, multi=True, interpret=interpret
+                    dev, total, k, w, cap, multi=True, interpret=interpret,
+                    mode=cmode,
                 )
             else:
-                cseg = _seg_cap(flat)
                 pos, lo, hi, count, _, seg_count = _sketch_fused_general(
                     dev, offs_dev, total, k, w, cap, cap_seg=cseg,
-                    multi=True, interpret=interpret,
+                    multi=True, interpret=interpret, mode=cmode,
                 )
                 if int(seg_count) > cseg:  # stream layout incomplete
                     return [_host_sketch(c, k, w) for c in codes_list]

@@ -49,6 +49,30 @@ def test_quast_command(tmp_path):
     assert args[-3:] == ["r.fa", "t.fa", "t.fa.k32.w1000.n2.all.scaffolds.fa"]
 
 
+def test_analysis_accepts_gzipped_scaffolds(tmp_path):
+    """assemble gzip=True replaces <fa> with <fa>.gz; analysis must still
+    find and align the scaffolds (ADVICE round 2: the plain-name existence
+    check silently skipped them)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    log = tmp_path / "calls.log"
+    _stub(bindir, "minimap2", f'echo "minimap2 $@" >> {log}\necho SAM\n')
+    _stub(bindir, "samtools", f'echo "samtools $@" >> {log}\ncat > /dev/null\n')
+    for f in ("t.fa", "truth.fa"):
+        (tmp_path / f).write_text(">x\nACGT\n")
+    import gzip
+
+    with gzip.open(tmp_path / "t.fa.k32.w1000.n1.all.scaffolds.fa.gz", "wt") as fh:
+        fh.write(">s\nACGT\n")
+    res = subprocess.run(
+        [sys.executable, "-m", "ntjoin_tpu.cli", "analysis", "target=t.fa",
+         "ref=truth.fa", "t=3"],
+        cwd=tmp_path, env=_env(bindir), capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "t.fa.k32.w1000.n1.all.scaffolds.fa.gz" in log.read_text()
+
+
 def test_quast_missing_tool(tmp_path):
     (tmp_path / "t.fa").write_text(">x\nACGT\n")
     env = dict(os.environ, PYTHONPATH=REPO, PATH="/usr/bin:/bin")

@@ -37,6 +37,31 @@ def test_member_mask():
     assert (got == expect).all()
 
 
+def test_edge_tally_repeated_same_assembly_adjacency():
+    """A pair adjacent twice within ONE assembly must set that assembly's
+    support bit once, not carry into the next assembly's bit (the reference
+    appends repeated support, ``ntjoin_utils.py:100-108``, so the input is
+    legal; regression for the ``.add`` carry bug)."""
+    # assembly 0 stream: 1-2-1 on one contig -> pair (1,2) adjacent twice;
+    # assembly 1 stream: 1-2 once
+    node_ids = jnp.asarray(np.array([1, 2, 1, 1, 2], np.int32))
+    ctg_ids = jnp.asarray(np.array([0, 0, 0, 0, 0], np.int32))
+    asm_ids = jnp.asarray(np.array([0, 0, 0, 1, 1], np.int32))
+    g_lo, g_hi, weight, support, valid = edge_tally(
+        node_ids, ctg_ids, asm_ids, np.array([2.0, 1.0]), 3
+    )
+    valid = np.asarray(valid)
+    got = {
+        (int(l), int(h)): (float(wt), int(s))
+        for l, h, wt, s in zip(
+            np.asarray(g_lo)[valid], np.asarray(g_hi)[valid],
+            np.asarray(weight)[valid], np.asarray(support)[valid],
+        )
+    }
+    # weight counts repeats (2 + 2 + 1); support is the OR of assembly bits
+    assert got == {(1, 2): (5.0, 0b11)}
+
+
 def test_edge_tally_matches_host_graph():
     from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
     from ntjoin_tpu.graph.mingraph import build_graph
