@@ -57,6 +57,12 @@ _DEFAULTS = {
     # filter/graph stage: host | device | auto (device iff the sketch
     # backend is a JAX one — data is then already device-resident)
     "index_backend": "auto",
+    # multi-process distributed mode (parallel/pipeline.py): launch the
+    # same command once per process with process_id=0..n_procs-1
+    "coordinator": "None",
+    "n_procs": "1",
+    "process_id": "0",
+    "local_devices": "None",
 }
 
 
@@ -171,7 +177,25 @@ def _ensure_sketch(
             batched = backend is sketch_codes_pallas
         except Exception:  # pragma: no cover
             batched = False
-        if batched:
+        is_jax_backend = backend.__module__.endswith(
+            ("sketch_pallas", "sketch_jax")
+        )
+        mesh = None
+        if is_jax_backend and os.environ.get("NTJOIN_TPU_MESH", "auto") != "off":
+            # shard the sketch across the local mesh when more than one
+            # device is visible (SURVEY §2.2(a)); a single-chip host keeps
+            # the fused single-device pipelines
+            import jax
+
+            if len(jax.devices()) > 1:
+                from ntjoin_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+        if mesh is not None:
+            from ntjoin_tpu.parallel.mesh import sketch_sharded
+
+            sketches = [sketch_sharded(r.codes, k, w, mesh) for r in records]
+        elif batched:
             # one device program for the whole assembly
             sketches = sketch_records_pallas([r.codes for r in records], k, w)
         else:
@@ -225,6 +249,47 @@ def assemble(words: list[str]) -> int:
     k, w, n = int(v["k"]), int(v["w"]), int(v["n"])
     prefix = v["prefix"] or f"out.k{k}.w{w}.n{n}"
     overlap_g = v["overlap_g"] or v["g"]
+
+    if int(v["n_procs"]) > 1 or v["coordinator"] != "None":
+        # distributed mode: record-shard -> sketch -> collective filter ->
+        # survivor exchange -> process-0 scaffold (parallel/pipeline.py)
+        from ntjoin_tpu.parallel.pipeline import (
+            DistributedConfig,
+            distributed_assemble,
+        )
+
+        dcfg = DistributedConfig(
+            target=v["target"],
+            references=v["references"].split(),
+            reference_weights=[float(x) for x in v["reference_weights"].split()],
+            target_weight=float(v["target_weight"]),
+            prefix=prefix,
+            k=k,
+            w=w,
+            n=n,
+            coordinator=None if v["coordinator"] == "None" else v["coordinator"],
+            num_processes=int(v["n_procs"]),
+            process_id=int(v["process_id"]),
+            local_device_count=(
+                None if v["local_devices"] == "None" else int(v["local_devices"])
+            ),
+            scaffold_opts=dict(
+                g=int(v["g"]),
+                G=int(v["G"]),
+                mkt=_truthy(v["mkt"]),
+                m=int(v["m"]),
+                t=int(v["assemble_t"]),
+                agp=_truthy(v["agp"]),
+                no_cut=_truthy(v["no_cut"]),
+                overlap=_truthy(v["overlap"]),
+                overlap_gap=int(overlap_g),
+                overlap_k=int(v["overlap_k"]),
+                overlap_w=int(v["overlap_w"]),
+            ),
+        )
+        distributed_assemble(dcfg)
+        return 0
+
     timers = StageTimers(enabled=_truthy(v["time"]), prefix=prefix)
     backend = _sketch_backend(v["backend"])
     index_backend = v["index_backend"]

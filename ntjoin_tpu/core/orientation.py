@@ -72,6 +72,39 @@ def mann_kendall(positions: Sequence[int], alpha: float = 0.05):
     return trend, h, p, z
 
 
+def _mk_finish(s: int, positions: Sequence[int], alpha: float = 0.05):
+    """Host float64 tail of the MK test from an exact integer S: tie
+    correction, variance, z, two-sided p — identical numerics to
+    ``mann_kendall`` (pymannkendall original_test)."""
+    import numpy as np
+
+    n = len(positions)
+    _, t = np.unique(np.asarray(positions, dtype=np.int64), return_counts=True)
+    tie_term = int(np.sum(t * (t - 1) * (2 * t + 5)))
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    p = 2.0 * _norm_sf(abs(z))
+    h = p < alpha and z != 0.0
+    if h and z > 0:
+        trend = "increasing"
+    elif h and z < 0:
+        trend = "decreasing"
+    else:
+        trend = "no trend"
+    return trend, h, p, z
+
+
+def _mk_orient(trend: str, h: bool, p: float) -> str:
+    if h and p <= 0.05:
+        return "+" if trend == "increasing" else "-"
+    return "?"
+
+
 def determine_orientation(
     positions: Sequence[int], use_mkt: bool, m_percent: float
 ) -> str:
@@ -86,13 +119,72 @@ def determine_orientation(
         return "-"
     if use_mkt:
         trend, h, p, _ = mann_kendall(positions)
-        if h and p <= 0.05:
-            return "+" if trend == "increasing" else "-"
-    else:
-        up = sum(1 for x, y in zip(positions, positions[1:]) if x < y)
-        positive_perc = up / float(len(positions) - 1) * 100.0
-        if positive_perc >= m_percent:
-            return "+"
-        if 100.0 - positive_perc >= m_percent:
-            return "-"
+        return _mk_orient(trend, h, p)
+    up = sum(1 for x, y in zip(positions, positions[1:]) if x < y)
+    positive_perc = up / float(len(positions) - 1) * 100.0
+    if positive_perc >= m_percent:
+        return "+"
+    if 100.0 - positive_perc >= m_percent:
+        return "-"
     return "?"
+
+
+def determine_orientations(
+    runs: Sequence[Sequence[int]], use_mkt: bool, m_percent: float
+) -> list[str]:
+    """Orientations for a batch of position runs (one path's contig runs).
+
+    Identical verdicts to per-run ``determine_orientation``; with
+    ``use_mkt`` the ambiguous (non-monotonic) runs are batched into ONE
+    device Mann-Kendall S computation (``ops.mannkendall.mk_s_batch``,
+    integer-exact) with the float64 tail finished on host — bit-identical
+    p/z to the scalar path.  Falls back to scalar per-run MK when JAX is
+    unavailable or a run exceeds the int32-exact S bound.
+    """
+    out = [""] * len(runs)
+    ambiguous: list[int] = []
+    for i, positions in enumerate(runs):
+        if len(positions) <= 1:
+            out[i] = "?"
+        elif all(x < y for x, y in zip(positions, positions[1:])):
+            out[i] = "+"
+        elif all(x > y for x, y in zip(positions, positions[1:])):
+            out[i] = "-"
+        else:
+            ambiguous.append(i)
+    if not ambiguous:
+        return out
+    if not use_mkt:
+        for i in ambiguous:
+            out[i] = determine_orientation(runs[i], use_mkt, m_percent)
+        return out
+
+    max_len = max(len(runs[i]) for i in ambiguous)
+    s_vals = None
+    if len(ambiguous) >= 2 and max_len <= 65536:
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ntjoin_tpu.ops.mannkendall import mk_s_batch
+
+            pad = 8
+            while pad < max_len:
+                pad *= 2
+            pos = np.zeros((len(ambiguous), pad), np.int32)
+            lengths = np.zeros(len(ambiguous), np.int32)
+            for j, i in enumerate(ambiguous):
+                pos[j, : len(runs[i])] = runs[i]
+                lengths[j] = len(runs[i])
+            s_vals = np.asarray(
+                mk_s_batch(jnp.asarray(pos), jnp.asarray(lengths))
+            )
+        except Exception:
+            s_vals = None  # device unavailable: scalar host MK is exact
+    for j, i in enumerate(ambiguous):
+        if s_vals is not None:
+            trend, h, p, _ = _mk_finish(int(s_vals[j]), runs[i])
+        else:
+            trend, h, p, _ = mann_kendall(runs[i])
+        out[i] = _mk_orient(trend, h, p)
+    return out

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 
 from ntjoin_tpu.core.assembly import SharedIndex
-from ntjoin_tpu.core.orientation import determine_orientation
+from ntjoin_tpu.core.orientation import determine_orientations
 from ntjoin_tpu.core.pathnode import Bed, PathNode
 from ntjoin_tpu.graph.paths import SubGraphView
 
@@ -102,12 +102,35 @@ class PathBuilder:
         ctg_of = self.shared.ctg[t]
         pos_of = self.shared.pos[t]
 
-        out: list[PathNode] = []
+        # collect the path's contig runs first, then orient them as one
+        # batch — with --mkt the ambiguous runs share a single device
+        # Mann-Kendall S computation (ops/mannkendall.mk_s_batch)
+        runs: list[tuple[int, list[int], int, int]] = []
+        cur_ctg = None
+        positions: list[int] = []
+        first_mx = prev_mx = None
+        for mx in mx_path:
+            c = int(ctg_of[mx])
+            p = int(pos_of[mx])
+            if cur_ctg is not None and c == cur_ctg:
+                positions.append(p)
+            else:
+                if cur_ctg is not None:
+                    runs.append((cur_ctg, positions, first_mx, prev_mx))
+                cur_ctg = c
+                positions = [p]
+                first_mx = mx
+            prev_mx = mx
+        if cur_ctg is not None:
+            runs.append((cur_ctg, positions, first_mx, prev_mx))
 
-        def flush(ctg_idx, positions, first_mx, last_mx):
-            ori = determine_orientation(positions, self.use_mkt, self.m_percent)
+        oris = determine_orientations(
+            [r[1] for r in runs], self.use_mkt, self.m_percent
+        )
+        out: list[PathNode] = []
+        for (ctg_idx, positions, first_mx, last_mx), ori in zip(runs, oris):
             if ori == "?":
-                return
+                continue
             name = self.contig_names[ctg_idx]
             length = self.scaffold_lengths[name]
             out.append(
@@ -121,24 +144,6 @@ class PathBuilder:
                     terminal_mx=last_mx,
                 )
             )
-
-        cur_ctg = None
-        positions: list[int] = []
-        first_mx = prev_mx = None
-        for mx in mx_path:
-            c = int(ctg_of[mx])
-            p = int(pos_of[mx])
-            if cur_ctg is not None and c == cur_ctg:
-                positions.append(p)
-            else:
-                if cur_ctg is not None:
-                    flush(cur_ctg, positions, first_mx, prev_mx)
-                cur_ctg = c
-                positions = [p]
-                first_mx = mx
-            prev_mx = mx
-        if cur_ctg is not None:
-            flush(cur_ctg, positions, first_mx, prev_mx)
 
         for u, v in zip(out, out[1:]):
             gap, raw = self._gap_size(u, v, view)

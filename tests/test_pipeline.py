@@ -321,6 +321,25 @@ def test_backend_jax_e2e(workdir):
     assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
 
 
+def test_backend_jax_mesh_e2e(workdir):
+    """Full pipeline with the in-engine mesh-sharded sketch forced on (8
+    virtual CPU devices): the engine shards every record across the mesh
+    (SURVEY §2.2(a)) and artifacts match the single-device run."""
+    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+           "backend=jax", "target=scaf.f-f.fa", "target_weight=1",
+           "references=ref.fa", "reference_weights=2", "prefix=meshbe",
+           "k=32", "w=1000", "n=2", "overlap=False"]
+    env = dict(
+        os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    lines = [ln.strip() for ln in (workdir / "meshbe.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
 def _run_with_index(workdir, prefix, index_backend, *args):
     cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
            "backend=numpy", f"index_backend={index_backend}", *args,

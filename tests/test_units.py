@@ -315,6 +315,32 @@ def test_more_sequences_golden(tmp_path):
     assert ">floating1" in unassigned and ">floating2" in unassigned
 
 
+def test_determine_orientations_batch_matches_scalar():
+    """The batched orientation path (device integer-S MK + host f64 tail)
+    gives verdicts identical to per-run determine_orientation, with and
+    without --mkt (VERDICT round 2: wire ops/mannkendall into the
+    pipeline)."""
+    from ntjoin_tpu.core.orientation import (
+        determine_orientation,
+        determine_orientations,
+    )
+
+    rng = np.random.default_rng(11)
+    runs = [
+        [5],  # too short -> '?'
+        list(range(0, 50, 3)),  # strictly increasing
+        list(range(50, 0, -3)),  # strictly decreasing
+        np.cumsum(rng.integers(-2, 5, size=40)).tolist(),  # noisy up
+        np.cumsum(rng.integers(-4, 2, size=40)).tolist(),  # noisy down
+        rng.integers(0, 100, size=30).tolist(),  # no trend
+        [3, 3, 3, 3, 3, 3],  # all ties
+    ]
+    for use_mkt in (False, True):
+        got = determine_orientations(runs, use_mkt, 90.0)
+        want = [determine_orientation(r, use_mkt, 90.0) for r in runs]
+        assert got == want, (use_mkt, got, want)
+
+
 def test_mann_kendall_vectorized_long_run_parity():
     """The blocked-NumPy long-run path (n > 128) is bit-identical to the
     reference-semantics pair loop (pymannkendall original_test numerics)."""
