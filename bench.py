@@ -1,7 +1,7 @@
 """Benchmark: minimizer sketch throughput + end-to-end scaffolding wall.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N, "detail": {...}}
 
 Headline metric: device sketch throughput (hash + windowed argmin +
 emission compaction, device-resident) at the reference's default scale
@@ -9,6 +9,11 @@ parameters (k=32, w=1000) via the fused Pallas pipeline.  ``vs_baseline``
 compares against the native C++ rolling sketcher — the stand-in for the
 reference's single-node btllib indexlr, which is not installable in this
 image.
+
+Reproducibility: every device metric is the min of >= 3 timed trials (the
+median rides along in detail), and ``detail.stages_*`` breaks the
+multi-record walls into pack / dispatch / sync / post so variance can be
+attributed (tunnel warmup vs regression).
 
 Every TPU-touching measurement runs in its OWN subprocess, sequentially:
 the axon tunnel serves one process at a time, jax.block_until_ready is a
@@ -18,6 +23,7 @@ whether the device path actually ran.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -28,8 +34,9 @@ sys.path.insert(0, _REPO)
 import numpy as np
 
 _SUB_PRELUDE = """
-import sys, time, json
+import sys, time, json, os
 sys.path.insert(0, {repo!r})
+os.environ["NTJOIN_TPU_TIMERS"] = "1"
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', {cache!r})
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -59,6 +66,7 @@ def _run_sub(body: str, timeout: float):
 
 _DEVICE_BODY = """
 from ntjoin_tpu.constants import CODE_INVALID
+import ntjoin_tpu.ops.sketch_pallas as sp
 from ntjoin_tpu.ops.sketch_pallas import (_CHUNKS, _ROW_BLOCK, _ceil_to,
     _sketch_fused, sketch_records_pallas)
 
@@ -67,7 +75,7 @@ k, w = 32, 1000
 rng = np.random.default_rng(42)
 codes = rng.integers(0, 4, size=size).astype(np.int8)
 
-# fused single-record throughput (sync = fetch of the count scalar)
+# fused single-record throughput, device-resident (sync = count fetch)
 nk = size - k + 1
 halo = w + k - 2
 L = -(-nk // _CHUNKS)
@@ -78,36 +86,52 @@ cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
 dev = jnp.asarray(buf)
 out = _sketch_fused(dev, size, k, w, cap)
 cnt = int(out[3])
-assert bool(out[4]) and 0 < cnt <= cap, (cnt, cap)
+assert bool(out[4]) and bool(out[5]) and 0 < cnt <= cap, (cnt, cap)
 ts = []
-for _ in range(3):
+for _ in range(5):
     t0 = time.monotonic()
     out = _sketch_fused(dev, size, k, w, cap)
     cnt = int(out[3])
     ts.append(time.monotonic() - t0)
-fused_bps = size / min(ts)
+fused = sorted(ts)
+
+def trials(fn, n=3):
+    fn()  # warm (compile + first-touch)
+    walls, stages = [], []
+    for _ in range(n):
+        sp._STAGES.clear()
+        t0 = time.monotonic()
+        fn()
+        walls.append(time.monotonic() - t0)
+        stages.append(dict(sp._STAGES))
+    best = min(range(n), key=lambda i: walls[i])
+    return sorted(walls), stages[best]
 
 # whole-assembly batched path (N-free records ride the fast fused path)
 recs = [codes[i:i + 2_000_000] for i in range(0, size, 2_000_000)]
-t0 = time.monotonic()
-sketch_records_pallas(recs, k, w)
-t1 = time.monotonic()
-sketch_records_pallas(recs, k, w)  # steady-state (first call compiles)
-multi_bps = size / (time.monotonic() - t1)
+multi, multi_stages = trials(lambda: sketch_records_pallas(recs, k, w))
 
 # N-rich general path (stream compaction on device)
 codes_n = codes.copy()
 for s in rng.integers(0, size - 600, 100):
     codes_n[s:s + 500] = CODE_INVALID
 recs_n = [codes_n[i:i + 2_000_000] for i in range(0, size, 2_000_000)]
-sketch_records_pallas(recs_n, k, w)
-t0 = time.monotonic()
-sketch_records_pallas(recs_n, k, w)
-general_bps = size / (time.monotonic() - t0)
+general, general_stages = trials(lambda: sketch_records_pallas(recs_n, k, w))
 
-print(json.dumps({{"fused_bps": fused_bps, "multi_bps": multi_bps,
-                   "general_bps": general_bps}}))
+print(json.dumps({{
+    "fused_s": fused, "multi_s": multi, "general_s": general,
+    "multi_stages": multi_stages, "general_stages": general_stages,
+}}))
 """
+
+
+def _time_host(fn, n=3):
+    ts = []
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+    return sorted(ts)
 
 
 def bench_host_native(codes_np, k, w):
@@ -115,17 +139,13 @@ def bench_host_native(codes_np, k, w):
 
     if not available():
         return None
-    t0 = time.monotonic()
-    sketch_codes_native(codes_np, k, w)
-    return codes_np.shape[0] / (time.monotonic() - t0)
+    return _time_host(lambda: sketch_codes_native(codes_np, k, w))
 
 
 def bench_host_oracle(codes_np, k, w):
     from ntjoin_tpu.ops.nthash_np import sketch_codes
 
-    t0 = time.monotonic()
-    sketch_codes(codes_np, k, w)
-    return codes_np.shape[0] / (time.monotonic() - t0)
+    return _time_host(lambda: sketch_codes(codes_np, k, w), n=1)
 
 
 def bench_e2e(size_mbp: int = 30, backend: str = "native") -> float:
@@ -179,40 +199,94 @@ def bench_e2e(size_mbp: int = 30, backend: str = "native") -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_scale_1gbp() -> dict:
+    """~1 Gbp end-to-end run via scripts/perf_scale.py (host backends);
+    returns {} on failure.  (BASELINE north star: human-scale draft.)"""
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "scripts", "perf_scale.py"),
+             "--mbp", "1000", "--refs", "2", "--backend", "native"],
+            capture_output=True, text=True, timeout=3600,
+            env=dict(
+                os.environ,
+                PYTHONPATH=_REPO + ":" + os.environ.get("PYTHONPATH", ""),
+            ),
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
+    out = {}
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"e2e_s"' in line:
+            try:
+                out = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def _ms(ts):
+    return {
+        "min_ms": round(min(ts) * 1e3, 1),
+        "median_ms": round(statistics.median(ts) * 1e3, 1),
+    }
+
+
 def main():
     k, w = 32, 1000
     size = int(os.environ.get("BENCH_SIZE", 1 << 27))  # 134 Mbp
     rng = np.random.default_rng(42)
     codes = rng.integers(0, 4, size=min(size, 1 << 24)).astype(np.uint8)
 
-    native_bps = bench_host_native(codes, k, w)
-    baseline_bps = native_bps or bench_host_oracle(codes[: 1 << 22], k, w)
+    native_ts = bench_host_native(codes, k, w)
+    if native_ts is not None:
+        baseline_bps = codes.shape[0] / min(native_ts)
+        baseline_name = "native C++ rolling sketcher"
+    else:
+        baseline_bps = codes.shape[0] / min(
+            bench_host_oracle(codes[: 1 << 22], k, w)
+        ) / 4  # oracle runs on a quarter slice
+        baseline_name = "numpy oracle"
 
-    dev = _run_sub(_DEVICE_BODY.format(size=size), timeout=1500)
+    dev = _run_sub(_DEVICE_BODY.format(size=size), timeout=2400)
     detail = {
         "k": k,
         "w": w,
         "bases": size,
-        "baseline": "native C++ rolling sketcher"
-        if native_bps
-        else "numpy oracle",
+        "baseline": baseline_name,
         "baseline_gbps": round(baseline_bps / 1e9, 4),
     }
     if dev is not None:
         device = "tpu"
-        main_bps = dev["fused_bps"]
-        detail["multi_record_gbps"] = round(dev["multi_bps"] / 1e9, 4)
-        detail["general_n_rich_gbps"] = round(dev["general_bps"] / 1e9, 4)
+        main_bps = size / min(dev["fused_s"])
+        detail["fused"] = _ms(dev["fused_s"])
+        detail["multi"] = _ms(dev["multi_s"])
+        detail["general"] = _ms(dev["general_s"])
+        detail["multi_record_gbps"] = round(size / min(dev["multi_s"]) / 1e9, 4)
+        detail["general_n_rich_gbps"] = round(
+            size / min(dev["general_s"]) / 1e9, 4
+        )
+        detail["stages_multi_s"] = {
+            s: round(v, 3) for s, v in dev["multi_stages"].items()
+        }
+        detail["stages_general_s"] = {
+            s: round(v, 3) for s, v in dev["general_stages"].items()
+        }
     else:
         device = "host-fallback"
         main_bps = baseline_bps
     detail["device"] = device
 
-    detail["e2e_scaffold_30mbp_wall_s"] = round(bench_e2e(30, "native"), 2)
+    e2e = sorted(bench_e2e(30, "native") for _ in range(3))
+    detail["e2e_scaffold_30mbp_wall_s"] = round(e2e[0], 2)
+    detail["e2e_scaffold_30mbp_median_s"] = round(e2e[1], 2)
     if device == "tpu":
-        detail["e2e_scaffold_30mbp_tpu_wall_s"] = round(
-            bench_e2e(30, "pallas"), 2
-        )
+        e2e_t = sorted(bench_e2e(30, "pallas") for _ in range(2))
+        detail["e2e_scaffold_30mbp_tpu_wall_s"] = round(e2e_t[0], 2)
+    scale = bench_scale_1gbp()
+    if scale:
+        detail["e2e_scaffold_1gbp_wall_s"] = round(scale.get("e2e_s", -1), 1)
+        detail["e2e_scaffold_1gbp_rss_gb"] = scale.get("rss_gb")
 
     print(
         json.dumps(

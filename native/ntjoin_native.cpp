@@ -76,6 +76,25 @@ void nj_encode(const char* seq, int64_t n, uint8_t* dst) {
   for (int64_t i = 0; i < n; ++i) dst[i] = g_code_lut[(unsigned char)seq[i]];
 }
 
+// Pack int8 codes (low 2 bits each) 4-per-byte into out[byte_off..]; the
+// device upload path ships 2-bit codes (4x less tunnel traffic) and paints
+// invalid runs separately.  Tail codes (n % 4) pack into one final byte.
+void nj_pack2(const int8_t* codes, int64_t n, uint8_t* out, int64_t byte_off) {
+  uint8_t* dst = out + byte_off;
+  int64_t nfull = n / 4;
+  for (int64_t i = 0; i < nfull; ++i) {
+    const int8_t* c = codes + 4 * i;
+    dst[i] = (uint8_t)((c[0] & 3) | ((c[1] & 3) << 2) | ((c[2] & 3) << 4) |
+                       ((c[3] & 3) << 6));
+  }
+  if (n % 4) {
+    uint8_t tail = 0;
+    for (int64_t j = 0; j < n % 4; ++j)
+      tail |= (uint8_t)((codes[4 * nfull + j] & 3) << (2 * j));
+    dst[nfull] = tail;
+  }
+}
+
 // Canonical hash of every kmer start (valid flag separate).  Used by tests.
 void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
                          uint64_t* hashes, uint8_t* valid) {

@@ -88,12 +88,32 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "nj_pack2"):  # pre-r3 builds lack it; callers degrade
+        lib.nj_pack2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
     _LIB = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def pack2_native(codes: np.ndarray, out: np.ndarray, byte_off: int) -> bool:
+    """Pack int8 codes 4-per-byte into ``out[byte_off:]`` (C++ fast path).
+
+    Returns False when the loaded library predates ``nj_pack2`` — callers
+    fall back to the NumPy packer.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "nj_pack2"):
+        return False
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lib.nj_pack2(
+        codes.ctypes.data, codes.shape[0], out.ctypes.data, byte_off
+    )
+    return True
 
 
 def sketch_codes_native(codes: np.ndarray, k: int, w: int, threads: int = 0):

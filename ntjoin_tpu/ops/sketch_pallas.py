@@ -359,11 +359,340 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
     )(l_per_chunk, lo, hi)
 
 
+# -- windowed argmin + in-kernel emission compaction (v3) --------------------
+
+# Output rows per (group, block): 0.._NSLOT-1 = emission slots, last = raw
+# count.  Emissions per (lane, w-window block) are ~Poisson(2) regardless of
+# w (argmin moves twice per window span on average), so 15 slots put the
+# per-block overflow probability near 4e-10; overflow falls back to the
+# full-array compaction path.
+_SLOTS = 16
+_NSLOT = _SLOTS - 1
+
+
+def _pick_tr(w: int) -> int:
+    """Rows per scan tile: the largest convenient divisor of w."""
+    for cand in (40, 32, 24, 16, 8):
+        if w % cand == 0:
+            return cand
+    return w if w <= 256 else 0  # 0 = no v3 kernel for this w
+
+
+def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
+    """Van Herk windowed argmin with in-kernel emission compaction.
+
+    Emissions of block b-1 are computed during block b (stored suffix +
+    running prefix, as in ``_window_kernel_v2``) but instead of writing the
+    full per-window argmin array, window results land in VMEM scratch and a
+    per-block assembly pass compacts the emitted windows (argmin moved vs
+    the previous window, btllib semantics) into ``_NSLOT`` slots per
+    (lane, block) — emission density is ~2 per w windows, so 7 slots give a
+    wide margin; the raw per-lane count lands in slot row 7 so the caller
+    can detect overflow and fall back to the full-array path.
+
+    scal_ref: SMEM (2,) i32 = [L (stream rows per chunk), n_windows].
+    With ``has_flags`` an extra per-window input carries bit0 = window
+    valid, bit1 = force-emit (record starts in the multi paths).
+    """
+    if has_flags:
+        (lo_ref, hi_ref, flg_ref, oix_ref, olo_ref, ohi_ref,
+         s_lo, s_hi, s_ix, r_lo, r_hi, r_ix, pcar) = refs
+    else:
+        (lo_ref, hi_ref, oix_ref, olo_ref, ohi_ref,
+         s_lo, s_hi, s_ix, r_lo, r_hi, r_ix, pcar) = refs
+        flg_ref = None
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    prev = ((b + 1) % 2) * w  # ping-pong scratch row offsets
+    cur = (b % 2) * w
+    nt = w // tr
+    maxu = jnp.full((tr, _LANE), _MAXU, _U32)
+    maxi = jnp.full((tr, _LANE), np.int32(2**31 - 1), _I32)
+    fills = (maxu, maxu, maxi)
+    L = scal_ref[0]
+    nwin = scal_ref[1]
+    lane = jax.lax.broadcasted_iota(_I32, (tr, _LANE), 1)
+    chunk = g * _LANE + lane
+    row_in_tile = jax.lax.broadcasted_iota(_I32, (tr, _LANE), 0)
+
+    @pl.when(b == 0)
+    def _init():
+        pcar[...] = jnp.full(pcar.shape, -1, _I32)
+
+    def tile(ref, t):
+        return ref[0, pl.ds(t * tr, tr), :]
+
+    def tile_scan(vals, shift):
+        s = 1
+        while s < tr:
+            shifted = tuple(shift(v, s, f) for v, f in zip(vals, fills))
+            vals = _lexmin3(vals, shifted)
+            s *= 2
+        return vals
+
+    # forward: window results of block b-1 -> result scratch
+    def fwd(t, carry):
+        ixt = chunk * L + (b * w + t * tr) + row_in_tile
+        vals = (tile(lo_ref, t), tile(hi_ref, t), ixt)
+        incl = tile_scan(vals, _shift_down)
+        carry_b = tuple(jnp.broadcast_to(c, (tr, _LANE)) for c in carry)
+        incl = _lexmin3(incl, carry_b)
+        excl = tuple(_shift_down(i, 1, c) for i, c in zip(incl, carry_b))
+        sp = (
+            s_lo[pl.ds(prev + t * tr, tr), :],
+            s_hi[pl.ds(prev + t * tr, tr), :],
+            s_ix[pl.ds(prev + t * tr, tr), :],
+        )
+        res = _lexmin3(sp, excl)
+        r_lo[pl.ds(t * tr, tr), :] = res[0]
+        r_hi[pl.ds(t * tr, tr), :] = res[1]
+        r_ix[pl.ds(t * tr, tr), :] = res[2]
+        return tuple(i[tr - 1 : tr] for i in incl)
+
+    init = (maxu[:1], maxu[:1], maxi[:1])
+    jax.lax.fori_loop(0, nt, fwd, init)
+
+    # emission + slot assembly over the whole block (runs for b > 0; the
+    # b == 0 write lands in the same out block as b == 1 and is overwritten
+    # by the sequential grid)
+    win_row = (
+        (b - 1) * w
+        + jax.lax.broadcasted_iota(_I32, (w, _LANE), 0)
+    )
+    lane_w = jax.lax.broadcasted_iota(_I32, (w, _LANE), 1)
+    chunk_w = g * _LANE + lane_w
+    valid = (win_row < L) & (chunk_w * L + win_row < nwin)
+    first = win_row == 0
+    if has_flags:
+        f = flg_ref[0]
+        valid &= (f & 1) == 1
+        first |= (f & 2) != 0
+    rix = r_ix[pl.ds(0, w), :]
+    prev_ix = jnp.concatenate([pcar[0:1, :], rix[: w - 1]], axis=0)
+    emit = (valid & (first | (rix != prev_ix))).astype(_I32)
+    # inclusive scan of emit over the block's rows (log2 w shifted adds)
+    zf = jnp.zeros((w, _LANE), _I32)
+    ecum = emit
+    s = 1
+    while s < w:
+        ecum = ecum + _shift_down(ecum, s, zf)
+        s *= 2
+    slot = ecum - 1
+    rlo = r_lo[pl.ds(0, w), :]
+    rhi = r_hi[pl.ds(0, w), :]
+    emitb = emit == 1
+    out_ix_rows = []
+    out_lo_rows = []
+    out_hi_rows = []
+    for c in range(_NSLOT):
+        sel = emitb & (slot == c)
+        out_ix_rows.append(
+            jnp.max(jnp.where(sel, rix, -1), axis=0, keepdims=True)
+        )
+        out_lo_rows.append(
+            jnp.max(jnp.where(sel, rlo, _U32(0)), axis=0, keepdims=True)
+        )
+        out_hi_rows.append(
+            jnp.max(jnp.where(sel, rhi, _U32(0)), axis=0, keepdims=True)
+        )
+    cnt = ecum[w - 1 : w]
+    oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
+    olo_ref[0, 0] = jnp.concatenate(out_lo_rows + [jnp.zeros((1, _LANE), _U32)], axis=0)
+    ohi_ref[0, 0] = jnp.concatenate(out_hi_rows + [jnp.zeros((1, _LANE), _U32)], axis=0)
+    pcar[...] = rix[w - 1 : w]
+
+    # backward: fill this block's suffix scan
+    def bwd(j, carry):
+        t = nt - 1 - j
+        ixt = chunk * L + (b * w + t * tr) + row_in_tile
+        vals = (tile(lo_ref, t), tile(hi_ref, t), ixt)
+        incl = tile_scan(vals, _shift_up)
+        carry_b = tuple(jnp.broadcast_to(c, (tr, _LANE)) for c in carry)
+        incl = _lexmin3(incl, carry_b)
+        s_lo[pl.ds(cur + t * tr, tr), :] = incl[0]
+        s_hi[pl.ds(cur + t * tr, tr), :] = incl[1]
+        s_ix[pl.ds(cur + t * tr, tr), :] = incl[2]
+        return tuple(i[:1] for i in incl)
+
+    jax.lax.fori_loop(0, nt, bwd, init)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _window_emit_chunked(lo, hi, scal, w: int, flags=None, interpret: bool = False):
+    """Slot-compacted per-window emissions, per lane (kernel v3).
+
+    Inputs (GROUPS, rows, LANE) group-major, rows a multiple of w with one
+    final all-max block; ``scal`` = i32[2] (L, n_windows).  ``flags`` (same
+    shape, indexed by window row) carries bit0 = window-valid / bit1 =
+    force-emit when given.  Returns (ix, lo, hi) of shape
+    (GROUPS, nb-1, _SLOTS, LANE): rows 0..6 = emitted window argmin stream
+    index / winning hash words in window order, -1/0 padded; row 7 of ix =
+    the raw per-lane emission count for overflow detection.
+    """
+    groups, rows, _ = lo.shape
+    nb = rows // w
+    tr = _pick_tr(w)
+    if tr == 0:
+        raise ValueError(f"no v3 scan tiling for w={w}")
+    in_spec = pl.BlockSpec(
+        (1, w, _LANE), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+    )
+    flg_spec = pl.BlockSpec(
+        (1, w, _LANE),
+        lambda g, b: (g, jnp.maximum(b, 1) - 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, _SLOTS, _LANE),
+        lambda g, b: (g, jnp.maximum(b, 1) - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    has_flags = flags is not None
+    in_specs = [scal_spec, in_spec, in_spec] + ([flg_spec] if has_flags else [])
+    args = (scal, lo, hi) + ((flags,) if has_flags else ())
+    out_sh = (groups, nb - 1, _SLOTS, _LANE)
+    return pl.pallas_call(
+        functools.partial(_window_emit_kernel, w, tr, has_flags),
+        grid=(groups, nb),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_sh, _I32),
+            jax.ShapeDtypeStruct(out_sh, _U32),
+            jax.ShapeDtypeStruct(out_sh, _U32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w, _LANE), _U32),  # suffix lo
+            pltpu.VMEM((2 * w, _LANE), _U32),  # suffix hi
+            pltpu.VMEM((2 * w, _LANE), _I32),  # suffix ix
+            pltpu.VMEM((w, _LANE), _U32),  # window results lo
+            pltpu.VMEM((w, _LANE), _U32),  # window results hi
+            pltpu.VMEM((w, _LANE), _I32),  # window results ix
+            pltpu.VMEM((1, _LANE), _I32),  # prev-window argmin carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _compact_slots(oix, olo, ohi, cap: int):
+    """Global-order compaction of the slotted kernel outputs.
+
+    (GROUPS, nbm1, _SLOTS, LANE) -> cap-bounded (pos, lo, hi) in ascending
+    stream order plus (count, slots_ok).  The descent runs on the small
+    slot array (nbm1 * _NSLOT rows), not the full window array.
+    """
+    groups, nbm1, _, lanes = oix.shape
+    counts = oix[:, :, _NSLOT, :]
+    total = jnp.sum(counts)
+    slots_ok = jnp.all(counts <= _NSLOT)
+    # (g, lane, block, slot) ascending == stream order
+    tix = oix[:, :, :_NSLOT, :].transpose(0, 3, 1, 2)
+    tlo = olo[:, :, :_NSLOT, :].transpose(0, 3, 1, 2)
+    thi = ohi[:, :, :_NSLOT, :].transpose(0, 3, 1, 2)
+    nl = groups * lanes
+    rows = nbm1 * _NSLOT
+    fix = tix.reshape(nl, rows).T  # (rows, nl)
+    flo = tlo.reshape(nl, rows).T
+    fhi = thi.reshape(nl, rows).T
+    live = fix >= 0
+    within = jnp.cumsum(live.astype(_I32), axis=0)
+    lane_cum = jnp.cumsum(within[-1])
+    q = jax.lax.optimization_barrier(
+        jax.lax.broadcasted_iota(_I32, (cap, 1), 0)
+    )[:, 0]
+    src = _invert_ranks(within, lane_cum, q, rows)
+    alive = q < total
+    out_pos = jnp.where(alive, fix.reshape(-1)[src], 0)
+    out_lo = jnp.where(alive, flo.reshape(-1)[src], _U32(0))
+    out_hi = jnp.where(alive, fhi.reshape(-1)[src], _U32(0))
+    return out_pos, out_lo, out_hi, total, slots_ok
+
+
 # -- fused device pipeline ---------------------------------------------------
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@jax.jit
+def _prep_codes(packed, starts, ends):
+    """2-bit packed upload -> painted int8 code buffer, on device.
+
+    The tunnel moves ~45 MB/s (measured), so shipping 4 bases/byte is a 4x
+    upload win; 2-bit can't encode invalid bases, so the (few) invalid RUNS
+    — record separators, N runs, the buffer tail — ride along as (start,
+    end) index lists and are painted with ONE diff-scatter + cumsum
+    (scatter cost on a v5e is ~80 ms fixed regardless of update count).
+    ``starts``/``ends`` are padded with the sentinel ``4*len(packed)``
+    (dropped by the scatter).
+    """
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    codes = (
+        (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
+    ).astype(jnp.int8).reshape(-1)
+    m = codes.shape[0]
+    idx = jnp.concatenate([starts, ends])
+    upd = jnp.concatenate(
+        [jnp.ones_like(starts), jnp.full_like(ends, -1)]
+    )
+    delta = jnp.zeros(m, _I32).at[idx].add(upd, mode="drop")
+    inside = jnp.cumsum(delta) > 0
+    return jnp.where(inside, jnp.int8(CODE_INVALID), codes)
+
+
+def _pack2_host(codes: np.ndarray, out: np.ndarray, byte_off: int) -> None:
+    """Pack int8 codes (0..3; invalid bits ignored) into ``out`` starting at
+    ``byte_off`` (codes laid at base offset ``4*byte_off``).  Uses the C++
+    packer when available."""
+    from ntjoin_tpu.io.native import available, pack2_native
+
+    if available() and pack2_native(codes, out, byte_off):
+        return
+    n = codes.shape[0]
+    nfull = n // 4
+    c = (codes[: nfull * 4].astype(np.uint8) & 3).reshape(-1, 4)
+    out[byte_off : byte_off + nfull] = (
+        c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+    )
+    if n % 4:
+        tail = np.uint8(0)
+        for j in range(n % 4):
+            tail |= np.uint8((int(codes[nfull * 4 + j]) & 3) << (2 * j))
+        out[byte_off + nfull] = tail
+
+
+def _invalid_runs(codes: np.ndarray, base: int) -> list[tuple[int, int]]:
+    """(start, end) runs of invalid bases in ``codes``, offset by ``base``."""
+    inv = np.asarray(codes) >= CODE_INVALID
+    if not inv.any():
+        return []
+    d = np.diff(inv.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if inv[0]:
+        starts = np.concatenate([[0], starts])
+    if inv[-1]:
+        ends = np.concatenate([ends, [inv.shape[0]]])
+    return [(base + int(s), base + int(e)) for s, e in zip(starts, ends)]
+
+
+_RUN_CAP = 1 << 18  # beyond this many invalid runs, plain int8 upload wins
+
+# Stage wall-clock accumulators (populated when NTJOIN_TPU_TIMERS is set;
+# bench.py resets/reads them for its per-stage detail).
+_STAGES: dict[str, float] = {}
+
+
+def _stage(name: str, t0: float) -> None:
+    import time
+
+    if os.environ.get("NTJOIN_TPU_TIMERS"):
+        _STAGES[name] = _STAGES.get(name, 0.0) + (time.monotonic() - t0)
 
 
 def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
@@ -461,11 +790,12 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode")
+    jax.jit,
+    static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),
 )
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
                   multi: bool = False, interpret: bool = False,
-                  mode: str = "bsearch"):
+                  mode: str = "bsearch", slots: bool = True):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -474,9 +804,17 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     to the compacting general/host paths).
 
     codes_padded: int8[CHUNKS*L + code_rows] with CODE_INVALID padding.
-    Returns (pos, lo, hi, count, ok): emissions in global window order with
-    chunk-seam duplicates still present (host drops consecutive equal
-    positions).
+    Returns (pos, lo, hi, count, ok, slots_ok): emissions in global window
+    order with chunk-seam duplicates still present (host drops consecutive
+    equal positions).
+
+    With ``slots=True`` (default) the window stage is the v3 kernel with
+    in-kernel emission compaction: no full-size argmin output, no
+    full-array rank inversion, no hash masking passes (invalid windows are
+    geometry-/flag-masked inside the kernel and their values never emit).
+    ``slots_ok`` False means some (lane, block) emitted more than the
+    ``_NSLOT`` slots — the caller retries with ``slots=False`` (the
+    full-array compaction path, always exact).
 
     With ``multi=True``, the flat array holds whole N-free records joined
     by k-1 invalid separator bases (the caller pre-verifies cleanliness).
@@ -496,6 +834,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     nb = -(-hash_rows // w) + 1
     rows_p = nb * w
     nw = nk - w + 1
+    use_slots = slots and _pick_tr(w) > 0
 
     # chunk layout rows [s*L, (s+1)*L) come from the flat array shifted by
     # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
@@ -520,6 +859,54 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
     h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows)
     val = jax.lax.slice_in_dim(val, k - 1, k - 1 + hash_rows)
+    pad_rows = rows_p - hash_rows
+
+    if use_slots:
+        # N-detection without materialized iotas: for an N-free record the
+        # number of valid k-mer slots in the layout (halo duplicates
+        # included) is a closed form of the static shapes
+        if multi:
+            ok = jnp.asarray(True)
+        else:
+            expected = sum(
+                max(0, min(hash_rows, nk - c * L)) for c in range(_CHUNKS)
+            )
+            # i32 sum is exact: val.size < 2^31 (the callers' i32 guard)
+            ok = jnp.sum(val, dtype=_I32) == expected
+
+        flags = None
+        if multi:
+            # window-valid = all w k-mers valid (cumsum + two shifts);
+            # record-first = false->true edge of window-valid
+            val_p = jnp.pad(val, ((0, pad_rows), (0, 0), (0, 0)))
+            vcum = jnp.cumsum(val_p, axis=0)
+            rows_out = rows_p - w
+            upper = jax.lax.slice_in_dim(vcum, w - 1, w - 1 + rows_out)
+            lower = jnp.concatenate(
+                [jnp.zeros((1, _SUB, _LANE), vcum.dtype), vcum[: rows_out - 1]],
+                axis=0,
+            )
+            win_valid = (upper - lower) == w
+            prev_valid = jnp.concatenate(
+                [jnp.zeros((1, _SUB, _LANE), bool), win_valid[:-1]], axis=0
+            )
+            first_w = win_valid & ~prev_valid
+            flags = (
+                win_valid.astype(_I32) | (first_w.astype(_I32) << 1)
+            ).transpose(1, 0, 2)
+
+        h_lo = jnp.pad(h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
+        h_hi = jnp.pad(h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
+        gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
+        gm_hi = h_hi.transpose(1, 0, 2)
+        scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
+        oix, olo, ohi = _window_emit_chunked.__wrapped__(
+            gm_lo, gm_hi, scal, w, flags=flags, interpret=interpret
+        )
+        out_pos, out_lo, out_hi, count, slots_ok = _compact_slots(
+            oix, olo, ohi, cap
+        )
+        return out_pos, out_lo, out_hi, count, ok, slots_ok
 
     row_iota = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 0)
@@ -544,7 +931,6 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     h_lo = h_lo | mask
     h_hi = h_hi | mask
 
-    pad_rows = rows_p - hash_rows
     h_lo = jnp.pad(h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
     h_hi = jnp.pad(h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
 
@@ -598,19 +984,19 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     h_flat = h_row * (_SUB * _LANE) + h_chunk
     out_lo = h_lo.reshape(-1)[h_flat]
     out_hi = h_hi.reshape(-1)[h_flat]
-    return out_pos, out_lo, out_hi, count, ok
+    return out_pos, out_lo, out_hi, count, ok, jnp.asarray(True)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "k", "w", "cap", "cap_seg", "multi", "interpret", "mode"
+        "n", "k", "w", "cap", "cap_seg", "multi", "interpret", "mode", "slots"
     ),
 )
 def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
                           cap: int, cap_seg: int = 4096,
                           multi: bool = False, interpret: bool = False,
-                          mode: str = "bsearch"):
+                          mode: str = "bsearch", slots: bool = True):
     """Fused sketch with device-resident valid-k-mer compaction (N-safe).
 
     Generalises ``_sketch_fused``: after hashing, owned valid k-mers are
@@ -621,8 +1007,11 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     owned-run (segment) count; callers derive it from a host-side count of
     invalid-base runs and must verify the returned ``seg_count <= cap_seg``
     (an overflow means the stream layout is incomplete — fall back).
-    Returns (pos, lo, hi, count, stream_count, seg_count): emissions in
-    stream order with chunk-seam duplicates still present.
+    Returns (pos, lo, hi, count, stream_count, seg_count, slots_ok):
+    emissions in stream order with chunk-seam duplicates still present.
+    ``slots=True`` uses the v3 in-kernel emission compaction (see
+    ``_sketch_fused``); ``slots_ok`` False means slot overflow — retry with
+    ``slots=False``.
 
     With ``multi=True``, ``offsets`` holds each record's start in the flat
     concatenation (records separated by k-1 invalid bases): per-record
@@ -807,6 +1196,35 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
         bflag = jnp.concatenate([bb, bhalo], axis=0)
         bcum = jnp.cumsum(bflag, axis=0)
 
+    if slots and _pick_tr(w) > 0:
+        flags = None
+        rows_out2 = rows_p2 - w
+        if multi:
+            upper_b = jax.lax.slice_in_dim(bcum, w - 1, w - 1 + rows_out2)
+            base_b = jax.lax.slice_in_dim(bcum, 0, rows_out2)
+            wvalid = (upper_b - base_b) == 0
+            wfirst = jax.lax.slice_in_dim(bflag, 0, rows_out2) == 1
+            flags = (
+                wvalid.astype(_I32) | (wfirst.astype(_I32) << 1)
+            ).reshape(rows_out2, _SUB, _LANE).transpose(1, 0, 2)
+        scal = jnp.stack(
+            [jnp.asarray(L2, _I32), (stream_count - w + 1).astype(_I32)]
+        )
+        oix, olo, ohi = _window_emit_chunked.__wrapped__(
+            s_lo.transpose(1, 0, 2), s_hi.transpose(1, 0, 2), scal, w,
+            flags=flags, interpret=interpret,
+        )
+        out_rank, out_lo, out_hi, count, slots_ok = _compact_slots(
+            oix, olo, ohi, cap
+        )
+        s_row = out_rank % L2
+        s_chunk = out_rank // L2
+        j = s_row * _CHUNKS + s_chunk
+        out_pos = c_arr.reshape(-1)[j] * L + out_rank + d_arr.reshape(-1)[j]
+        return (
+            out_pos, out_lo, out_hi, count, stream_count, seg_count, slots_ok
+        )
+
     w_ix = _window_chunked.__wrapped__(
         s_lo.transpose(1, 0, 2),
         s_hi.transpose(1, 0, 2),
@@ -857,7 +1275,10 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     # a second full binary-search inversion of the owned-flag cumsum)
     j = s_row * _CHUNKS + s_chunk
     out_pos = c_arr.reshape(-1)[j] * L + out_rank + d_arr.reshape(-1)[j]
-    return out_pos, out_lo, out_hi, count, stream_count, seg_count
+    return (
+        out_pos, out_lo, out_hi, count, stream_count, seg_count,
+        jnp.asarray(True),
+    )
 
 
 def _seg_cap(flat: np.ndarray) -> int:
@@ -914,9 +1335,30 @@ def sketch_codes_pallas(
         return _host_sketch(codes, k, w)
 
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
-    buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
-    buf[:n] = codes
-    dev = jnp.asarray(buf)
+    buflen = _CHUNKS * L + code_rows
+    runs = _invalid_runs(codes, 0)
+    if len(runs) <= _RUN_CAP:
+        # 2-bit packed upload (4x less tunnel traffic); invalid runs are
+        # painted on device by _prep_codes
+        nbytes = -(-buflen // 4)
+        pb = np.zeros(nbytes, dtype=np.uint8)
+        _pack2_host(codes, pb, 0)
+        runs.append((n, 4 * nbytes))  # buffer tail padding
+        rcap = 1024
+        while rcap < len(runs):
+            rcap *= 2
+        starts = np.full(rcap, 4 * nbytes, dtype=np.int32)
+        ends = np.full(rcap, 4 * nbytes, dtype=np.int32)
+        for i, (s, e) in enumerate(runs):
+            starts[i] = s
+            ends[i] = e
+        dev = _prep_codes(
+            jnp.asarray(pb), jnp.asarray(starts), jnp.asarray(ends)
+        )
+    else:  # pathological run count: ship plain int8
+        buf = np.full(buflen, CODE_INVALID, dtype=np.int8)
+        buf[:n] = codes
+        dev = jnp.asarray(buf)
     # escalating emission caps: tight first (binary-search compaction cost
     # scales with cap), a 4x retry for repeat-dense inputs, host for the
     # truly pathological (emission density near 1/window)
@@ -925,19 +1367,34 @@ def sketch_codes_pallas(
     try:
         for mult in (5, 20):
             cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
-            pos, lo, hi, count, ok = _sketch_fused(
+            pos, lo, hi, count, ok, slots_ok = _sketch_fused(
                 dev, n, k, w, cap, interpret=interpret, mode=cmode
             )
+            if bool(ok) and not bool(slots_ok):
+                # some (lane, block) emitted past the slot bound: the
+                # full-array compaction path is exact for any density
+                pos, lo, hi, count, ok, _ = _sketch_fused(
+                    dev, n, k, w, cap, interpret=interpret, mode=cmode,
+                    slots=False,
+                )
             if not bool(ok):
                 # N-containing record: device-side stream compaction path
                 if cseg is None:  # hoisted: codes don't change across retries
                     cseg = _seg_cap(codes)
-                pos, lo, hi, count, stream_count, seg_count = (
+                pos, lo, hi, count, stream_count, seg_count, g_slots_ok = (
                     _sketch_fused_general(
                         dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
                         cap_seg=cseg, interpret=interpret, mode=cmode,
                     )
                 )
+                if not bool(g_slots_ok):  # slot overflow: exact fallback
+                    pos, lo, hi, count, stream_count, seg_count, _ = (
+                        _sketch_fused_general(
+                            dev, jnp.zeros(1, jnp.int32), n, k, w, cap,
+                            cap_seg=cseg, interpret=interpret, mode=cmode,
+                            slots=False,
+                        )
+                    )
                 if int(seg_count) > cseg:  # stream layout incomplete
                     return _host_sketch(codes, k, w)
                 if int(stream_count) < w:
@@ -969,118 +1426,174 @@ def sketch_codes_pallas(
 
 
 
-def sketch_records_pallas(
-    codes_list: list[np.ndarray], k: int, w: int, interpret: bool = False
-) -> list[Sketch]:
-    """Batched device sketch of a whole multi-record assembly.
-
-    Records are concatenated with k-1 invalid separator bases (no k-mer
-    spans two records) and sketched in ONE device program; per-record
-    window semantics are enforced by on-device boundary masking.  N-free
-    records ride the fast fused path (record boundaries are pure masks, no
-    stream compaction); records with interior Ns take the general
-    stream-compaction path — the two partitions run as separate batches.
-    Small batches fall back to the per-record host path.
-    """
-    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-    sep = k - 1
-    total = sum(int(c.shape[0]) + sep for c in codes_list)
-    # Batch-size ceiling, the tighter of two limits: (a) device positions
-    # are i32 (2^31 flat bases); (b) the fused pipeline keeps ~50 B of
-    # intermediates per base live, so one batch must fit HBM (v5e: 16 GB
-    # -> ~200 Mbp per call).  Larger assemblies are split into sub-batches
-    # — records are independent, batching is efficiency.
-    _I32_SAFE = min(
+def _batch_i32_safe() -> int:
+    """Batch-size ceiling, the tighter of two limits: (a) device positions
+    are i32 (2^31 flat bases); (b) the fused pipeline keeps ~50 B of
+    intermediates per base live, so one batch must fit HBM (v5e: 16 GB
+    -> ~200 Mbp per call)."""
+    return min(
         (1 << 31) - (1 << 20),
         int(os.environ.get("NTJOIN_TPU_BATCH_BASES", 192 * 2**20)),
     )
-    if total > _I32_SAFE:
-        out: list[Sketch] = []
-        batch: list[np.ndarray] = []
-        acc = 0
-        for c in codes_list:
-            sz = int(c.shape[0]) + sep
-            if batch and acc + sz > _I32_SAFE:
-                out.extend(sketch_records_pallas(batch, k, w, interpret))
-                batch, acc = [], 0
-            batch.append(c)
-            acc += sz
-        if batch:
-            out.extend(sketch_records_pallas(batch, k, w, interpret))
-        return out
-    nk = max(total - k + 1, 0)
+
+
+def _start_batch(batch: list[np.ndarray], k: int, w: int, use_fast: bool,
+                 interpret: bool):
+    """Upload one record batch (2-bit packed) and dispatch the fused sketch.
+
+    Everything here is asynchronous — device_put and the jitted call queue
+    on the device stream, so the NEXT batch's host packing and upload
+    overlap this batch's compute.  Returns an opaque state consumed by
+    ``_finish_batch``; ``None`` means the batch must take the host path.
+    """
+    import time
+
+    t0 = time.monotonic()
+    sep = k - 1
     halo = w + k - 2
-    L = -(-max(nk, 1) // _CHUNKS)
-    if (L < 4 * halo and not interpret) or L < w:
-        # L < w would let a window span more than two chunks' streams
-        return [_host_sketch(c, k, w) for c in codes_list]
+    n_rec = len(batch)
 
-    # partition N-free vs N-containing records; route each kind to its path
-    clean = [not (np.asarray(c) >= CODE_INVALID).any() for c in codes_list]
-    if any(clean) and not all(clean):
-        out2: list[Sketch] = [empty] * len(codes_list)
-        for want in (True, False):
-            idxs = [i for i, cl in enumerate(clean) if cl == want]
-            if idxs:
-                sub = sketch_records_pallas(
-                    [codes_list[i] for i in idxs], k, w, interpret
-                )
-                for i, s in zip(idxs, sub):
-                    out2[i] = s
-        return out2
-    use_fast = bool(clean[0]) if clean else True
-
-    offsets = np.zeros(len(codes_list), dtype=np.int32)
-    flat = np.full(total, CODE_INVALID, dtype=np.int8)
+    # layout plan: record starts aligned to 4 bases (so each record packs
+    # byte-aligned), separator runs of >= k-1 invalid bases between records
+    offsets = np.zeros(n_rec, dtype=np.int64)
+    run_list: list[tuple[int, int]] = []
     cursor = 0
-    for r, c in enumerate(codes_list):
+    for r, c in enumerate(batch):
         offsets[r] = cursor
-        flat[cursor : cursor + c.shape[0]] = c
-        cursor += c.shape[0] + sep
+        end = cursor + int(c.shape[0])
+        if not use_fast:
+            run_list.extend(_invalid_runs(c, cursor))
+        cursor = -(-(end + sep) // 4) * 4
+        run_list.append((end, cursor))
+    total = cursor
+    nk = max(total - k + 1, 0)
+    L = -(-max(nk, 1) // _CHUNKS)
+    if (L < 4 * halo and not interpret) or L < w or len(run_list) > _RUN_CAP:
+        return None
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    buflen = _CHUNKS * L + code_rows
 
-    # pad the offsets array to a bucket size so R doesn't force recompiles;
-    # trailing dummy records start at the flat end (empty stream segments)
-    n_rec = len(codes_list)
+    nbytes = -(-buflen // 4)
+    pb = np.zeros(nbytes, dtype=np.uint8)
+    for r, c in enumerate(batch):
+        _pack2_host(c, pb, int(offsets[r]) // 4)
+    run_list.append((total, 4 * nbytes))  # buffer tail padding
+    rcap = 1024
+    while rcap < len(run_list):
+        rcap *= 2
+    starts = np.full(rcap, 4 * nbytes, dtype=np.int32)
+    ends = np.full(rcap, 4 * nbytes, dtype=np.int32)
+    for i, (s, e) in enumerate(run_list):
+        starts[i] = s
+        ends[i] = e
+
     r_bucket = 8
     while r_bucket < n_rec:
         r_bucket *= 2
     offsets_p = np.full(r_bucket, total, dtype=np.int32)
     offsets_p[:n_rec] = offsets
 
-    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
-    buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
-    buf[:total] = flat
-    dev = jnp.asarray(buf)
-    offs_dev = jnp.asarray(offsets_p)
-    cmode = _COMPACT_MODE  # read at call time so overrides retrace
-    cseg = _seg_cap(flat) if not use_fast else None  # hoisted out of retries
+    cmode = _COMPACT_MODE
+    cseg = None
+    if not use_fast:
+        need = len(run_list) + _CHUNKS + 64
+        cseg = 4096
+        while cseg < need:
+            cseg *= 2
+    _stage("pack", t0)
+    t0 = time.monotonic()
     try:
-        for mult in (5, 20):  # escalating caps (see sketch_codes_pallas)
-            cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+        dev = _prep_codes(
+            jnp.asarray(pb), jnp.asarray(starts), jnp.asarray(ends)
+        )
+        offs_dev = jnp.asarray(offsets_p)
+        cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+        if use_fast:
+            out = _sketch_fused(
+                dev, total, k, w, cap, multi=True, interpret=interpret,
+                mode=cmode,
+            )
+        else:
+            out = _sketch_fused_general(
+                dev, offs_dev, total, k, w, cap, cap_seg=cseg,
+                multi=True, interpret=interpret, mode=cmode,
+            )
+    except Exception:
+        if interpret:  # interpret mode = tests: never mask real bugs
+            raise
+        return None
+    _stage("dispatch", t0)
+    return {
+        "out": out, "dev": dev, "offs_dev": offs_dev, "offsets": offsets,
+        "total": total, "nk": nk, "cap": cap, "cseg": cseg,
+        "r_bucket": r_bucket, "cmode": cmode,
+    }
+
+
+def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
+                  use_fast: bool, interpret: bool) -> list[Sketch]:
+    """Synchronise one dispatched batch, run the (rare) retries, and split
+    the compacted stream back into per-record sketches."""
+    import time
+
+    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    if st is None:
+        return [_host_sketch(c, k, w) for c in batch]
+    t0 = time.monotonic()
+    dev, offs_dev = st["dev"], st["offs_dev"]
+    total, nk, cseg = st["total"], st["nk"], st["cseg"]
+    r_bucket, cmode = st["r_bucket"], st["cmode"]
+    out = st["out"]
+    cap = st["cap"]
+    try:
+        for attempt in range(2):
             if use_fast:
-                pos, lo, hi, count, ok = _sketch_fused(
+                pos, lo, hi, count, ok, slots_ok = out
+                if not bool(slots_ok):  # slot overflow: exact fallback
+                    pos, lo, hi, count, ok, _ = _sketch_fused(
+                        dev, total, k, w, cap, multi=True,
+                        interpret=interpret, mode=cmode, slots=False,
+                    )
+            else:
+                pos, lo, hi, count, _, seg_count, g_slots_ok = out
+                if not bool(g_slots_ok):  # slot overflow: exact fallback
+                    pos, lo, hi, count, _, seg_count, _ = (
+                        _sketch_fused_general(
+                            dev, offs_dev, total, k, w, cap, cap_seg=cseg,
+                            multi=True, interpret=interpret, mode=cmode,
+                            slots=False,
+                        )
+                    )
+                if int(seg_count) > cseg:  # stream layout incomplete
+                    return [_host_sketch(c, k, w) for c in batch]
+            cnt = int(count)
+            if cnt <= cap:
+                break
+            # cap overflow: escalate 4x and re-run (device buffer reused)
+            cap = max(20 * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+            if use_fast:
+                out = _sketch_fused(
                     dev, total, k, w, cap, multi=True, interpret=interpret,
                     mode=cmode,
                 )
             else:
-                pos, lo, hi, count, _, seg_count = _sketch_fused_general(
+                out = _sketch_fused_general(
                     dev, offs_dev, total, k, w, cap, cap_seg=cseg,
                     multi=True, interpret=interpret, mode=cmode,
                 )
-                if int(seg_count) > cseg:  # stream layout incomplete
-                    return [_host_sketch(c, k, w) for c in codes_list]
-            cnt = int(count)
-            if cnt <= cap:
-                break
-        else:
-            return [_host_sketch(c, k, w) for c in codes_list]
+        else:  # pathological emission density; the host path is exact
+            return [_host_sketch(c, k, w) for c in batch]
     except Exception:
-        if interpret:  # interpret mode = tests: never mask real bugs
+        if interpret:
             raise
-        return [_host_sketch(c, k, w) for c in codes_list]
-    out: list[Sketch] = [empty] * n_rec
+        return [_host_sketch(c, k, w) for c in batch]
+    _stage("sync", t0)
+    t0 = time.monotonic()
+    n_rec = len(batch)
+    offsets = st["offsets"]
+    outs: list[Sketch] = [empty] * n_rec
     if cnt == 0:
-        return out
+        return outs
     pos = np.asarray(pos[:cnt]).astype(np.int64)
     lo_np = np.asarray(lo[:cnt])
     hi_np = np.asarray(hi[:cnt])
@@ -1093,11 +1606,67 @@ def sketch_records_pallas(
         hi_np[sel].astype(np.uint64) << np.uint64(32)
     )
     hashes = derive_hash(canon, k)
-    rec_of = np.searchsorted(offsets.astype(np.int64), pos, side="right") - 1
+    rec_of = np.searchsorted(offsets, pos, side="right") - 1
     for r in range(n_rec):
         m = rec_of == r
         if m.any():
-            out[r] = Sketch(
+            outs[r] = Sketch(
                 positions=pos[m] - int(offsets[r]), hashes=hashes[m]
             )
-    return out
+    _stage("post", t0)
+    return outs
+
+
+def sketch_records_pallas(
+    codes_list: list[np.ndarray], k: int, w: int, interpret: bool = False
+) -> list[Sketch]:
+    """Batched device sketch of a whole multi-record assembly.
+
+    Records are concatenated with >= k-1 invalid separator bases (no k-mer
+    spans two records) and sketched in ONE device program per batch;
+    per-record window semantics are enforced by on-device boundary masking.
+    N-free records ride the fast fused path (record boundaries are pure
+    masks, no stream compaction); records with interior Ns take the general
+    stream-compaction path — the two partitions run as separate batches.
+
+    Transfers ship 2-bit packed (4 bases/byte, ``_prep_codes`` unpacks and
+    paints the invalid runs on device), and batches are pipelined: batch
+    N+1's host packing and upload overlap batch N's device compute — every
+    dispatch in ``_start_batch`` is asynchronous, syncs happen only in
+    ``_finish_batch``.  Small batches fall back to the per-record host path.
+    """
+    if not codes_list:
+        return []
+    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    sep = k - 1
+    safe = _batch_i32_safe()
+    clean = [not (np.asarray(c) >= CODE_INVALID).any() for c in codes_list]
+    out_all: list[Sketch] = [empty] * len(codes_list)
+    for want in (True, False):
+        idxs = [i for i, cl in enumerate(clean) if cl == want]
+        if not idxs:
+            continue
+        recs = [codes_list[i] for i in idxs]
+        batches: list[list[np.ndarray]] = []
+        cur: list[np.ndarray] = []
+        acc = 0
+        for c in recs:
+            sz = int(c.shape[0]) + sep + 3
+            if cur and acc + sz > safe:
+                batches.append(cur)
+                cur, acc = [], 0
+            cur.append(c)
+            acc += sz
+        if cur:
+            batches.append(cur)
+        # dispatch every batch before syncing any: uploads and compute
+        # pipeline on the device stream
+        states = [
+            _start_batch(b, k, w, want, interpret) for b in batches
+        ]
+        results: list[Sketch] = []
+        for st, b in zip(states, batches):
+            results.extend(_finish_batch(st, b, k, w, want, interpret))
+        for i, s in zip(idxs, results):
+            out_all[i] = s
+    return out_all

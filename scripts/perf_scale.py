@@ -130,7 +130,23 @@ def main() -> int:
         stats.sort_stats(args.sort).print_stats(35)
     else:
         rc = cli.main(words)
-    print(f"[e2e] assemble rc={rc} in {time.perf_counter()-t0:.1f}s")
+    e2e_s = time.perf_counter() - t0
+    print(f"[e2e] assemble rc={rc} in {e2e_s:.1f}s")
+    rss_gb = None
+    try:
+        import resource
+
+        rss_gb = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+        )
+    except Exception:
+        pass
+    import json
+
+    print(json.dumps({
+        "mbp": args.mbp, "refs": args.refs, "backend": args.backend,
+        "e2e_s": round(e2e_s, 1), "rss_gb": rss_gb, "rc": rc,
+    }))
     if not args.keep:
         shutil.rmtree(workdir, ignore_errors=True)
     return rc

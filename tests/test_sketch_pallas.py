@@ -49,17 +49,18 @@ def test_fused_pipeline_parity():
         buf = np.full(_CHUNKS * L + code_rows, 4, dtype=np.int8)
         buf[:n] = codes
         cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
-        pos, lo, hi, count, ok = _sketch_fused(
-            jnp.asarray(buf), n, k, w, cap, interpret=True
-        )
-        assert bool(ok)
-        cnt = int(count)
-        pos = np.asarray(pos[:cnt]).astype(np.int64)
-        keep = np.ones(cnt, bool)
-        keep[1:] = pos[1:] != pos[:-1]
-        got_pos = pos[np.flatnonzero(keep)]
         ref = sketch_codes(codes, k, w)
-        assert got_pos.tolist() == ref.positions.tolist()
+        for slots in (True, False):  # v3 slot kernel and full-array path
+            pos, lo, hi, count, ok, slots_ok = _sketch_fused(
+                jnp.asarray(buf), n, k, w, cap, interpret=True, slots=slots
+            )
+            assert bool(ok) and bool(slots_ok)
+            cnt = int(count)
+            pos_np = np.asarray(pos[:cnt]).astype(np.int64)
+            keep = np.ones(cnt, bool)
+            keep[1:] = pos_np[1:] != pos_np[:-1]
+            got_pos = pos_np[np.flatnonzero(keep)]
+            assert got_pos.tolist() == ref.positions.tolist(), (k, w, slots)
 
 
 def test_batched_records_parity():
