@@ -478,27 +478,34 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
         ecum = ecum + _shift_down(ecum, s, zf)
         s *= 2
     slot = ecum - 1
-    rlo = r_lo[pl.ds(0, w), :]
-    rhi = r_hi[pl.ds(0, w), :]
+    # Mosaic has no unsigned reductions: bitcast the hash words to i32 and
+    # select-by-SUM (at most one row matches a slot, fill 0 -> the sum IS
+    # the selected value, bit-exact)
+    rlo = jax.lax.bitcast_convert_type(r_lo[pl.ds(0, w), :], _I32)
+    rhi = jax.lax.bitcast_convert_type(r_hi[pl.ds(0, w), :], _I32)
     emitb = emit == 1
     out_ix_rows = []
     out_lo_rows = []
     out_hi_rows = []
     for c in range(_NSLOT):
         sel = emitb & (slot == c)
-        out_ix_rows.append(
-            jnp.max(jnp.where(sel, rix, -1), axis=0, keepdims=True)
-        )
+        hit = jnp.sum(sel.astype(_I32), axis=0, keepdims=True) > 0
+        vix = jnp.sum(jnp.where(sel, rix, 0), axis=0, keepdims=True)
+        out_ix_rows.append(jnp.where(hit, vix, -1))
         out_lo_rows.append(
-            jnp.max(jnp.where(sel, rlo, _U32(0)), axis=0, keepdims=True)
+            jnp.sum(jnp.where(sel, rlo, 0), axis=0, keepdims=True)
         )
         out_hi_rows.append(
-            jnp.max(jnp.where(sel, rhi, _U32(0)), axis=0, keepdims=True)
+            jnp.sum(jnp.where(sel, rhi, 0), axis=0, keepdims=True)
         )
     cnt = ecum[w - 1 : w]
     oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
-    olo_ref[0, 0] = jnp.concatenate(out_lo_rows + [jnp.zeros((1, _LANE), _U32)], axis=0)
-    ohi_ref[0, 0] = jnp.concatenate(out_hi_rows + [jnp.zeros((1, _LANE), _U32)], axis=0)
+    olo_ref[0, 0] = jnp.concatenate(
+        out_lo_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
+    )
+    ohi_ref[0, 0] = jnp.concatenate(
+        out_hi_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
+    )
     pcar[...] = rix[w - 1 : w]
 
     # backward: fill this block's suffix scan
@@ -557,10 +564,10 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, interpret: bool = Fal
         grid=(groups, nb),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(
+        out_shape=(  # hash words ride as bitcast i32 (no unsigned reductions)
             jax.ShapeDtypeStruct(out_sh, _I32),
-            jax.ShapeDtypeStruct(out_sh, _U32),
-            jax.ShapeDtypeStruct(out_sh, _U32),
+            jax.ShapeDtypeStruct(out_sh, _I32),
+            jax.ShapeDtypeStruct(out_sh, _I32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * w, _LANE), _U32),  # suffix lo
@@ -607,8 +614,12 @@ def _compact_slots(oix, olo, ohi, cap: int):
     src = _invert_ranks(within, lane_cum, q, rows)
     alive = q < total
     out_pos = jnp.where(alive, fix.reshape(-1)[src], 0)
-    out_lo = jnp.where(alive, flo.reshape(-1)[src], _U32(0))
-    out_hi = jnp.where(alive, fhi.reshape(-1)[src], _U32(0))
+    out_lo = jax.lax.bitcast_convert_type(
+        jnp.where(alive, flo.reshape(-1)[src], 0), _U32
+    )
+    out_hi = jax.lax.bitcast_convert_type(
+        jnp.where(alive, fhi.reshape(-1)[src], 0), _U32
+    )
     return out_pos, out_lo, out_hi, total, slots_ok
 
 
