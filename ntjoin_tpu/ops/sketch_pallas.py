@@ -35,7 +35,7 @@ import numpy as np
 
 from ntjoin_tpu.constants import CODE_INVALID, SEEDS, srol_n
 from ntjoin_tpu.ops import u64
-from ntjoin_tpu.ops.nthash_np import Sketch, derive_hash
+from ntjoin_tpu.ops.nthash_np import Sketch, canonical_hashes, derive_hash
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -693,6 +693,9 @@ def _invalid_runs(codes: np.ndarray, base: int) -> list[tuple[int, int]]:
 
 
 _RUN_CAP = 1 << 18  # beyond this many invalid runs, plain int8 upload wins
+# Junction (patch) windows are host work; past this many the old device
+# stream-compaction path wins (also scaled by record length, see caller).
+_PATCH_WORK_MIN = 1 << 20
 
 # Stage wall-clock accumulators (populated when NTJOIN_TPU_TIMERS is set;
 # bench.py resets/reads them for its per-stage detail).
@@ -1348,6 +1351,11 @@ def sketch_codes_pallas(
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buflen = _CHUNKS * L + code_rows
     runs = _invalid_runs(codes, 0)
+    if runs:
+        # N-containing record: the batched path segments it into clean
+        # pseudo-records + host junction patches (or the device
+        # stream-compaction path for pathological N densities)
+        return sketch_records_pallas([codes], k, w, interpret)[0]
     if len(runs) <= _RUN_CAP:
         # 2-bit packed upload (4x less tunnel traffic); invalid runs are
         # painted on device by _prep_codes
@@ -1435,6 +1443,102 @@ def sketch_codes_pallas(
     return Sketch(positions=pos[sel], hashes=derive_hash(canon, k))
 
 
+
+
+# -- segmented sketch of N-containing records --------------------------------
+#
+# The minimizer sketch equals the set of DISTINCT window argmins (argmin
+# positions are non-decreasing as the window slides, so the emission rule
+# "first window or argmin moved" emits each distinct argmin exactly once,
+# in ascending position order).  For a record with interior N runs the
+# windows split into (a) windows fully inside one maximal clean segment —
+# sketched on device via the fast multi path with segments as
+# pseudo-records — and (b) windows spanning segment junctions (at most
+# ~2(w-1) per junction) — computed on host from the junction
+# neighbourhoods' hashes.  The union, merged by position, is the exact
+# sketch.  This replaces the device stream-compaction path for realistic
+# N densities (the old general path remains for pathological inputs where
+# the junction work would rival the whole record).
+
+
+def _segments_of(n: int, runs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Maximal valid-base intervals = complement of the invalid runs."""
+    segs = []
+    prev = 0
+    for s, e in runs:
+        if s > prev:
+            segs.append((prev, s))
+        prev = e
+    if prev < n:
+        segs.append((prev, n))
+    return segs
+
+
+def _patch_plan(n: int, runs: list[tuple[int, int]], k: int, w: int):
+    """(segments, long_flags, patch window-start intervals, patch_work).
+
+    Stream rank space = valid k-mers in order; a window is device-covered
+    iff it lies fully inside one long (>= w+k-1 bases) segment; the patch
+    intervals are the complement within [0, N_s - w].
+    """
+    segs = _segments_of(n, runs)
+    nks = [max(0, (e - s) - k + 1) for s, e in segs]
+    offs = np.concatenate([[0], np.cumsum(nks)]).astype(np.int64)
+    n_stream = int(offs[-1])
+    long_flags = [(e - s) >= (w + k - 1) for s, e in segs]
+    if n_stream < w:
+        return segs, nks, offs, [], 0
+    inside = [
+        (int(offs[i]), int(offs[i]) + nks[i] - w)
+        for i in range(len(segs))
+        if long_flags[i]
+    ]
+    patch_ivs = []
+    cur = 0
+    last = n_stream - w
+    for a, b in inside:  # disjoint, ascending
+        if a > cur:
+            patch_ivs.append((cur, a - 1))
+        cur = max(cur, b + 1)
+    if cur <= last:
+        patch_ivs.append((cur, last))
+    work = sum(b - a + w for a, b in patch_ivs)
+    return segs, nks, offs, patch_ivs, work
+
+
+def _stream_slice(codes, k, segs, nks, offs, lo: int, hi: int):
+    """Canonical hashes + genomic positions of stream ranks [lo, hi]."""
+    hs, ps = [], []
+    for i, (s, e) in enumerate(segs):
+        if nks[i] == 0:
+            continue
+        a = max(lo, int(offs[i]))
+        b = min(hi, int(offs[i]) + nks[i] - 1)
+        if a > b:
+            continue
+        la = a - int(offs[i])
+        sl = np.asarray(codes[s + la : s + (b - int(offs[i])) + k])
+        canon, _ = canonical_hashes(sl, k)
+        hs.append(canon)
+        ps.append(np.arange(s + la, s + la + canon.shape[0], dtype=np.int64))
+    if not hs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return np.concatenate(hs), np.concatenate(ps)
+
+
+def _patch_emissions(codes, k: int, w: int, segs, nks, offs, patch_ivs):
+    """Distinct argmins (positions, canonical hashes) of the patch windows."""
+    from ntjoin_tpu.ops.nthash_np import _window_lexmin
+
+    out_pos, out_canon = [], []
+    for a, b in patch_ivs:
+        h, pos = _stream_slice(codes, k, segs, nks, offs, a, b + w - 1)
+        arg = np.unique(_window_lexmin(h, w))
+        out_pos.append(pos[arg])
+        out_canon.append(h[arg])
+    if not out_pos:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    return np.concatenate(out_pos), np.concatenate(out_canon)
 
 
 def _batch_i32_safe() -> int:
@@ -1605,9 +1709,20 @@ def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
     outs: list[Sketch] = [empty] * n_rec
     if cnt == 0:
         return outs
-    pos = np.asarray(pos[:cnt]).astype(np.int64)
-    lo_np = np.asarray(lo[:cnt])
-    hi_np = np.asarray(hi[:cnt])
+    # one stacked fetch instead of three (each device->host fetch pays a
+    # ~25 ms tunnel round-trip)
+    stacked = np.asarray(
+        jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(pos[:cnt], jnp.uint32),
+                lo[:cnt],
+                hi[:cnt],
+            ]
+        )
+    )
+    pos = stacked[0].view(np.int32).astype(np.int64)
+    lo_np = stacked[1]
+    hi_np = stacked[2]
     keep = np.empty(cnt, dtype=bool)
     keep[0] = True
     keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
@@ -1648,36 +1763,117 @@ def sketch_records_pallas(
     """
     if not codes_list:
         return []
+    import time as _time
+
     empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     sep = k - 1
     safe = _batch_i32_safe()
-    clean = [not (np.asarray(c) >= CODE_INVALID).any() for c in codes_list]
     out_all: list[Sketch] = [empty] * len(codes_list)
-    for want in (True, False):
-        idxs = [i for i, cl in enumerate(clean) if cl == want]
-        if not idxs:
+
+    # segmentation plan: clean records pass through whole; N-containing
+    # records split into long clean segments (device pseudo-records) +
+    # host junction patches; pathological N densities (junction work
+    # rivalling the record) take the old device stream-compaction path
+    t0 = _time.monotonic()
+    entries: list[tuple[int, int, np.ndarray]] = []  # (orig, base, codes)
+    patches: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    segmented: set[int] = set()
+    fallback_old: list[int] = []
+    for i, c in enumerate(codes_list):
+        c = np.asarray(c)
+        runs = _invalid_runs(c, 0)
+        if not runs:
+            entries.append((i, 0, c))
             continue
-        recs = [codes_list[i] for i in idxs]
-        batches: list[list[np.ndarray]] = []
-        cur: list[np.ndarray] = []
-        acc = 0
-        for c in recs:
-            sz = int(c.shape[0]) + sep + 3
-            if cur and acc + sz > safe:
-                batches.append(cur)
-                cur, acc = [], 0
-            cur.append(c)
-            acc += sz
-        if cur:
+        n = int(c.shape[0])
+        segs, nks, offs, patch_ivs, work = _patch_plan(n, runs, k, w)
+        if work > max(_PATCH_WORK_MIN, n // 5):
+            fallback_old.append(i)
+            continue
+        segmented.add(i)
+        for (s, e), nk_i in zip(segs, nks):
+            if (e - s) >= (w + k - 1):
+                entries.append((i, s, c[s:e]))
+        patches[i] = _patch_emissions(c, k, w, segs, nks, offs, patch_ivs)
+    _stage("plan", t0)
+
+    # batch the clean entries by size; dispatch every batch before syncing
+    # any (uploads and compute pipeline on the device stream)
+    batches: list[list[tuple[int, int, np.ndarray]]] = []
+    cur: list[tuple[int, int, np.ndarray]] = []
+    acc = 0
+    for ent in entries:
+        sz = int(ent[2].shape[0]) + sep + 3
+        if cur and acc + sz > safe:
             batches.append(cur)
-        # dispatch every batch before syncing any: uploads and compute
-        # pipeline on the device stream
-        states = [
-            _start_batch(b, k, w, want, interpret) for b in batches
+            cur, acc = [], 0
+        cur.append(ent)
+        acc += sz
+    if cur:
+        batches.append(cur)
+    states = [
+        _start_batch([e[2] for e in b], k, w, True, interpret)
+        for b in batches
+    ]
+    piece_sketches: dict[int, list[tuple[int, Sketch]]] = {}
+    for st, b in zip(states, batches):
+        res = _finish_batch(st, [e[2] for e in b], k, w, True, interpret)
+        for (orig, base, _), sk in zip(b, res):
+            piece_sketches.setdefault(orig, []).append((base, sk))
+
+    # old general path for the pathological records
+    if fallback_old:
+        gb: list[list[int]] = []
+        curg: list[int] = []
+        acc = 0
+        for i in fallback_old:
+            sz = int(codes_list[i].shape[0]) + sep + 3
+            if curg and acc + sz > safe:
+                gb.append(curg)
+                curg, acc = [], 0
+            curg.append(i)
+            acc += sz
+        if curg:
+            gb.append(curg)
+        gstates = [
+            _start_batch([np.asarray(codes_list[i]) for i in b], k, w, False,
+                         interpret)
+            for b in gb
         ]
-        results: list[Sketch] = []
-        for st, b in zip(states, batches):
-            results.extend(_finish_batch(st, b, k, w, want, interpret))
-        for i, s in zip(idxs, results):
-            out_all[i] = s
+        for st, b in zip(gstates, gb):
+            res = _finish_batch(
+                st, [np.asarray(codes_list[i]) for i in b], k, w, False,
+                interpret,
+            )
+            for i, sk in zip(b, res):
+                out_all[i] = sk
+
+    # merge device pieces + junction patches per record
+    t0 = _time.monotonic()
+    fallback_set = set(fallback_old)
+    for i in range(len(codes_list)):
+        if i in fallback_set:
+            continue
+        pieces = piece_sketches.get(i, [])
+        if i not in segmented:
+            if pieces:
+                out_all[i] = pieces[0][1]
+            continue
+        pos_parts = [base + sk.positions for base, sk in pieces]
+        h_parts = [sk.hashes for _, sk in pieces]
+        ppos, pcanon = patches[i]
+        if ppos.shape[0]:
+            pos_parts.append(ppos)
+            h_parts.append(derive_hash(pcanon, k))
+        if not pos_parts:
+            continue
+        pos = np.concatenate(pos_parts)
+        hsh = np.concatenate(h_parts)
+        order = np.argsort(pos, kind="stable")
+        pos, hsh = pos[order], hsh[order]
+        keep = np.empty(pos.shape[0], bool)
+        keep[0] = True
+        keep[1:] = pos[1:] != pos[:-1]  # device/patch overlap dedupe
+        out_all[i] = Sketch(positions=pos[keep], hashes=hsh[keep])
+    _stage("merge", t0)
     return out_all

@@ -98,6 +98,47 @@ def test_batched_dirty_records_general_path():
         assert sk.hashes.tolist() == ref.hashes.tolist()
 
 
+def test_segmented_n_rich_records():
+    """N-containing records split into clean segments (device fast path)
+    plus host junction patches; union-by-position equals the oracle."""
+    from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+    rng = np.random.default_rng(46)
+    records = []
+    for ln in [9000, 12000]:
+        codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+        # several interior runs incl. short inter-run segments (< w+k-1)
+        for start, rl in [(500, 40), (540 + 10, 30), (4000, 200), (ln - 300, 5)]:
+            codes[start : start + rl] = 4
+        records.append(codes)
+    got = sketch_records_pallas(records, 15, 10, interpret=True)
+    for codes, sk in zip(records, got):
+        ref = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == ref.positions.tolist()
+        assert sk.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_pathological_n_density_general_fallback():
+    """Alternating N every few bases makes every segment short — the
+    junction-work guard routes the record to the device stream-compaction
+    (old general) path, still exact."""
+    import ntjoin_tpu.ops.sketch_pallas as sp
+
+    rng = np.random.default_rng(47)
+    ln = 60_000
+    codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+    codes[::25] = 4  # a run every 25 bases: all segments < w+k-1 for w=16
+    old = sp._PATCH_WORK_MIN
+    sp._PATCH_WORK_MIN = 1000  # force the guard at test scale
+    try:
+        got = sp.sketch_records_pallas([codes], 15, 16, interpret=True)
+    finally:
+        sp._PATCH_WORK_MIN = old
+    ref = sketch_codes(codes, 15, 16)
+    assert got[0].positions.tolist() == ref.positions.tolist()
+    assert got[0].hashes.tolist() == ref.hashes.tolist()
+
+
 def test_batched_clean_records_fast_path():
     """All-clean batch rides the fused fast path with boundary masks."""
     from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
