@@ -38,6 +38,9 @@ class MinimizerGraph:
         self.weight = weight
         self.support_mask = support_mask
         self.alive = np.ones(src.shape[0], dtype=bool)
+        # set by ops.device_index.build_graph_device: component labelling
+        # runs on device (ops/cc_jax.py), bit-identical labels
+        self.use_device_cc = False
 
     @property
     def num_edges(self) -> int:
@@ -53,6 +56,13 @@ class MinimizerGraph:
         """Connected-component label per node (isolated nodes included)."""
         mask = self.alive if edge_mask is None else edge_mask
         s, d = self.src[mask], self.dst[mask]
+        if self.use_device_cc:
+            try:
+                from ntjoin_tpu.ops.cc_jax import connected_components_device
+
+                return connected_components_device(self.num_nodes, s, d)
+            except Exception:  # device trouble: host paths are exact
+                pass
         if _scipy_cc is not None:
             m = coo_matrix(
                 (np.ones(s.shape[0], dtype=np.int8), (s, d)),

@@ -318,4 +318,6 @@ def build_graph_device(shared):
     for a in range(n_asm):
         support |= np.where(counts[:, a] > 0, np.int64(1) << a, 0)
 
-    return MinimizerGraph(nn, src, dst, weight, support)
+    g = MinimizerGraph(nn, src, dst, weight, support)
+    g.use_device_cc = True  # component labelling on device (ops/cc_jax.py)
+    return g

@@ -2,6 +2,33 @@
 import numpy as np
 import pytest
 
+
+def test_device_cc_matches_host():
+    """Device pointer-jump CC labels == host labels (scipy/min-hook) on a
+    random sparse graph with many components."""
+    from ntjoin_tpu.graph.mingraph import MinimizerGraph
+    from ntjoin_tpu.ops.cc_jax import connected_components_device
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    m = 60_000
+    src = rng.integers(0, n, m).astype(np.int32)
+    dst = rng.integers(0, n, m).astype(np.int32)
+    g = MinimizerGraph(n, src, dst, np.ones(m), np.ones(m, np.int64))
+    host = g.components()
+    dev = connected_components_device(n, src, dst)
+    assert dev.tolist() == host.tolist()
+
+
+def test_device_cc_chain_and_isolated():
+    from ntjoin_tpu.ops.cc_jax import connected_components_device
+
+    # two chains + isolated nodes
+    src = np.array([0, 1, 5, 6], np.int32)
+    dst = np.array([1, 2, 6, 7], np.int32)
+    labels = connected_components_device(9, src, dst)
+    assert labels.tolist() == [0, 0, 0, 1, 2, 3, 3, 3, 4]
+
 from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
 from ntjoin_tpu.graph.mingraph import build_graph
 from ntjoin_tpu.ops.device_index import build_graph_device, shared_index_device
