@@ -1732,12 +1732,15 @@ def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
         hi_np[sel].astype(np.uint64) << np.uint64(32)
     )
     hashes = derive_hash(canon, k)
-    rec_of = np.searchsorted(offsets, pos, side="right") - 1
+    # emissions are ascending global positions and records are disjoint
+    # ascending ranges, so per-record slices come from one searchsorted
+    bounds = np.searchsorted(pos, offsets)
+    bounds = np.append(bounds, pos.shape[0])
     for r in range(n_rec):
-        m = rec_of == r
-        if m.any():
+        a, b = int(bounds[r]), int(bounds[r + 1])
+        if b > a:
             outs[r] = Sketch(
-                positions=pos[m] - int(offsets[r]), hashes=hashes[m]
+                positions=pos[a:b] - int(offsets[r]), hashes=hashes[a:b]
             )
     _stage("post", t0)
     return outs
