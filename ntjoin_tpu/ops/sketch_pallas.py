@@ -371,11 +371,20 @@ _NSLOT = _SLOTS - 1
 
 
 def _pick_tr(w: int) -> int:
-    """Rows per scan tile: the largest convenient divisor of w."""
-    for cand in (40, 32, 24, 16, 8):
+    """Rows per scan tile.
+
+    Whole-block tiles (tr = w) make both Van Herk passes loop-free — one
+    log2(w)-step shifted-lexmin scan over (w, LANE) vectors per pass, no
+    sequential carry chain — which is the latency-friendly shape on a
+    single sequential TensorCore.  Very large w falls back to the largest
+    convenient divisor (bounded VMEM registers per op).
+    """
+    if w <= 1024:
+        return w
+    for cand in (512, 256, 128, 64, 40, 32, 24, 16, 8):
         if w % cand == 0:
             return cand
-    return w if w <= 256 else 0  # 0 = no v3 kernel for this w
+    return 0  # 0 = no v3 kernel for this w
 
 
 def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
