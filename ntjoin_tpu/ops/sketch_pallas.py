@@ -379,6 +379,11 @@ def _pick_tr(w: int) -> int:
     single sequential TensorCore.  Very large w falls back to the largest
     convenient divisor (bounded VMEM registers per op).
     """
+    env = os.environ.get("NTJOIN_TPU_TR")
+    if env:
+        tr = int(env)
+        if tr > 0 and w % tr == 0:
+            return tr
     if w <= 1024:
         return w
     for cand in (512, 256, 128, 64, 40, 32, 24, 16, 8):
