@@ -103,8 +103,10 @@ def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
 
     def body(t8, _):
         base = t8 * _UNROLL
-        tile = x_ref[pl.ds(base, _UNROLL)]  # (_UNROLL, SUB, LANE)
-        lag = xlag_ref[pl.ds(base, _UNROLL)]
+        # codes may arrive int8 (4x less HBM traffic than pre-widened i32);
+        # the widen happens here, once per VMEM tile
+        tile = x_ref[pl.ds(base, _UNROLL)].astype(_I32)  # (_UNROLL, SUB, LANE)
+        lag = xlag_ref[pl.ds(base, _UNROLL)].astype(_I32)
         f = (fwd_lo[0], fwd_hi[0])
         r = (rev_lo[0], rev_hi[0])
         lb = last_bad[0]
@@ -139,7 +141,7 @@ def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _hash_chunked(x, x_lag, k: int, interpret: bool = False):
-    """x: (rows, SUB, LANE) int32 codes -> (lo, hi, valid) same shape.
+    """x: (rows, SUB, LANE) int8/int32 codes -> (lo, hi, valid) same shape.
 
     ``x_lag`` is ``x`` delayed by k rows (INVALID before row k): the
     outgoing-base stream of the rolling recurrences.  Row r of output =
@@ -821,6 +823,10 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
     jax.jit,
     static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),
 )
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),
+)
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
                   multi: bool = False, interpret: bool = False,
                   mode: str = "bsearch", slots: bool = True):
@@ -866,8 +872,8 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
 
     # chunk layout rows [s*L, (s+1)*L) come from the flat array shifted by
     # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
-    # halos longer than L.  The transposes run on int8 (1 B/base of HBM
-    # traffic); the i32 widening the kernel wants happens after layout.
+    # halos longer than L.  Everything through the hash kernel stays int8
+    # (1 B/base of HBM traffic); the kernel widens per-tile in VMEM.
     sections = -(-(L + halo) // L)
     blocks = [
         codes_padded[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
@@ -876,10 +882,10 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
     x8 = jnp.pad(x8, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
     x8 = x8.reshape(code_rows, _SUB, _LANE)
-    x = x8.astype(_I32)
+    x = x8  # int8 straight into the kernel (widened per-tile in VMEM)
     x_lag = jnp.pad(
         x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
-    ).astype(_I32)
+    )
 
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
@@ -1060,10 +1066,10 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
     x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
     x8 = jnp.pad(x8, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
     x8 = x8.reshape(code_rows, _SUB, _LANE)
-    x = x8.astype(_I32)
+    x = x8  # int8 straight into the kernel (widened per-tile in VMEM)
     x_lag = jnp.pad(
         x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID
-    ).astype(_I32)
+    )
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
     # owned valid k-mers (halo copies excluded) ranked in genomic order
