@@ -95,6 +95,20 @@ for _ in range(5):
     ts.append(time.monotonic() - t0)
 fused = sorted(ts)
 
+# pipelined throughput: dispatch a batch back-to-back, sync once — the
+# steady-state rate when batches stream through the device (each per-call
+# sync above pays one ~25 ms tunnel round-trip that a PCIe-attached host
+# would not)
+pipe = []
+reps = 5
+for _ in range(3):
+    t0 = time.monotonic()
+    outs = [_sketch_fused(dev, size, k, w, cap) for _ in range(reps)]
+    for o in outs:
+        int(o[3])
+    pipe.append((time.monotonic() - t0) / reps)
+fused_pipe = sorted(pipe)
+
 def trials(fn, n=3):
     fn()  # warm (compile + first-touch)
     walls, stages = [], []
@@ -119,7 +133,8 @@ recs_n = [codes_n[i:i + 2_000_000] for i in range(0, size, 2_000_000)]
 general, general_stages = trials(lambda: sketch_records_pallas(recs_n, k, w))
 
 print(json.dumps({{
-    "fused_s": fused, "multi_s": multi, "general_s": general,
+    "fused_s": fused, "fused_pipe_s": fused_pipe,
+    "multi_s": multi, "general_s": general,
     "multi_stages": multi_stages, "general_stages": general_stages,
 }}))
 """
@@ -258,8 +273,12 @@ def main():
     }
     if dev is not None:
         device = "tpu"
-        main_bps = size / min(dev["fused_s"])
+        # headline = pipelined (steady-state) throughput; per-call latency
+        # incl. one tunnel round-trip rides in detail.fused
+        main_bps = size / min(dev.get("fused_pipe_s", dev["fused_s"]))
         detail["fused"] = _ms(dev["fused_s"])
+        if "fused_pipe_s" in dev:
+            detail["fused_pipelined"] = _ms(dev["fused_pipe_s"])
         detail["multi"] = _ms(dev["multi_s"])
         detail["general"] = _ms(dev["general_s"])
         detail["multi_record_gbps"] = round(size / min(dev["multi_s"]) / 1e9, 4)
