@@ -127,7 +127,7 @@ def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
             canon = u64.add(f, r)
             out_lo.append(canon[0])
             out_hi.append(canon[1])
-            out_val.append(((i - lb) >= k).astype(jnp.int32))
+            out_val.append(((i - lb) >= k).astype(jnp.int8))
         fwd_lo[0], fwd_hi[0] = f
         rev_lo[0], rev_hi[0] = r
         last_bad[0] = lb
@@ -161,7 +161,7 @@ def _hash_chunked(x, x_lag, k: int, interpret: bool = False):
         out_shape=(
             jax.ShapeDtypeStruct((rows, _SUB, _LANE), _U32),
             jax.ShapeDtypeStruct((rows, _SUB, _LANE), _U32),
-            jax.ShapeDtypeStruct((rows, _SUB, _LANE), _I32),
+            jax.ShapeDtypeStruct((rows, _SUB, _LANE), jnp.int8),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, _SUB, _LANE), _U32),  # fwd lo
@@ -396,6 +396,7 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
 # full-array compaction path.
 _SLOTS = 16
 _NSLOT = _SLOTS - 1
+_FAST_SLOTS = 4  # slot-assembly fast path bound (typical blocks emit ~2)
 
 
 def _pick_tr(w: int) -> int:
@@ -412,11 +413,21 @@ def _pick_tr(w: int) -> int:
         tr = int(env)
         if tr > 0 and w % tr == 0:
             return tr
-    if w <= 1024:
+    if w <= 64:
         return w
-    for cand in (512, 256, 128, 64, 40, 32, 24, 16, 8):
+    # total scan work per block is ~w*log2(tr) elements (the doubling runs
+    # within tiles), while per-tile loop/carry overhead grows as w/tr:
+    # divisors near 40 measure fastest on a v5e (139.6 ms vs 151.6 at
+    # tr=w for w=1000 @2^27)
+    best = None
+    for cand in range(8, min(w, 1024) + 1, 8):
         if w % cand == 0:
-            return cand
+            if best is None or abs(cand - 40) < abs(best - 40):
+                best = cand
+    if best is not None:
+        return best
+    if w <= 1024:
+        return w  # no mult-of-8 divisor: whole-block tiles
     return 0  # 0 = no v3 kernel for this w
 
 
@@ -530,28 +541,47 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
     rlo = jax.lax.bitcast_convert_type(r_lo[pl.ds(0, w), :], _I32)
     rhi = jax.lax.bitcast_convert_type(r_hi[pl.ds(0, w), :], _I32)
     emitb = emit == 1
-    out_ix_rows = []
-    out_lo_rows = []
-    out_hi_rows = []
-    for c in range(_NSLOT):
-        sel = emitb & (slot == c)
-        hit = jnp.sum(sel.astype(_I32), axis=0, keepdims=True) > 0
-        vix = jnp.sum(jnp.where(sel, rix, 0), axis=0, keepdims=True)
-        out_ix_rows.append(jnp.where(hit, vix, -1))
-        out_lo_rows.append(
-            jnp.sum(jnp.where(sel, rlo, 0), axis=0, keepdims=True)
-        )
-        out_hi_rows.append(
-            jnp.sum(jnp.where(sel, rhi, 0), axis=0, keepdims=True)
-        )
     cnt = ecum[w - 1 : w]
-    oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
-    olo_ref[0, 0] = jnp.concatenate(
-        out_lo_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
-    )
-    ohi_ref[0, 0] = jnp.concatenate(
-        out_hi_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
-    )
+
+    def assemble(ns):
+        # each live slot costs ~4 full-block reductions; typical blocks
+        # emit ~2/lane, so the dense tail runs only when a lane actually
+        # filled past the fast bound
+        out_ix_rows, out_lo_rows, out_hi_rows = [], [], []
+        for c in range(ns):
+            sel = emitb & (slot == c)
+            hit = jnp.sum(sel.astype(_I32), axis=0, keepdims=True) > 0
+            vix = jnp.sum(jnp.where(sel, rix, 0), axis=0, keepdims=True)
+            out_ix_rows.append(jnp.where(hit, vix, -1))
+            out_lo_rows.append(
+                jnp.sum(jnp.where(sel, rlo, 0), axis=0, keepdims=True)
+            )
+            out_hi_rows.append(
+                jnp.sum(jnp.where(sel, rhi, 0), axis=0, keepdims=True)
+            )
+        pad = _NSLOT - ns
+        if pad:
+            out_ix_rows.append(jnp.full((pad, _LANE), -1, _I32))
+            out_lo_rows.append(jnp.zeros((pad, _LANE), _I32))
+            out_hi_rows.append(jnp.zeros((pad, _LANE), _I32))
+        oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
+        olo_ref[0, 0] = jnp.concatenate(
+            out_lo_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
+        )
+        ohi_ref[0, 0] = jnp.concatenate(
+            out_hi_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
+        )
+
+    mc = jnp.max(cnt)
+
+    @pl.when(mc <= _FAST_SLOTS)
+    def _fast():
+        assemble(_FAST_SLOTS)
+
+    @pl.when(mc > _FAST_SLOTS)
+    def _dense():
+        assemble(_NSLOT)
+
     pcar[...] = rix[w - 1 : w]
 
     # backward: fill this block's suffix scan
@@ -978,7 +1008,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
             # window-valid = all w k-mers valid (cumsum + two shifts);
             # record-first = false->true edge of window-valid
             val_p = jnp.pad(val, ((0, pad_rows), (0, 0), (0, 0)))
-            vcum = jnp.cumsum(val_p, axis=0)
+            vcum = jnp.cumsum(val_p, axis=0, dtype=_I32)  # val is int8
             rows_out = rows_p - w
             upper = jax.lax.slice_in_dim(vcum, w - 1, w - 1 + rows_out)
             lower = jnp.concatenate(
@@ -1055,7 +1085,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
         # record); windows stay inside their lane's rows, so this is a
         # cumsum + two row-shifted slices — no per-element lookups
         val_p = jnp.pad(val, ((0, pad_rows), (0, 0), (0, 0)))
-        vcum = jnp.cumsum(val_p, axis=0)
+        vcum = jnp.cumsum(val_p, axis=0, dtype=_I32)  # val is int8
         upper = jax.lax.slice_in_dim(vcum, w - 1, w - 1 + rows_out)
         lower = jnp.concatenate(
             [jnp.zeros((1, _SUB, _LANE), vcum.dtype), vcum[: rows_out - 1]],
