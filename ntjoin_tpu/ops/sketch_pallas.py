@@ -390,11 +390,15 @@ def _window_chunked(lo, hi, l_per_chunk, w: int, interpret: bool = False):
 # -- windowed argmin + in-kernel emission compaction (v3) --------------------
 
 # Output rows per (group, block): 0.._NSLOT-1 = emission slots, last = raw
+# fresh-emission count (overflow detection)
 # count.  Emissions per (lane, w-window block) are ~Poisson(2) regardless of
 # w (argmin moves twice per window span on average), so 15 slots put the
 # per-block overflow probability near 4e-10; overflow falls back to the
 # full-array compaction path.
-_SLOTS = 16
+_SLOTS = 32  # 31 data slots + the count row: repeat-run BOUNDARIES burst
+# ~8 distinct-hash fresh emissions each (measured on a 1.5 kbp poly run:
+# 7 before + 8 after the head in one w-block), so 15 was one short for a
+# block holding both edges of a run; 31 tolerates several bursts
 _NSLOT = _SLOTS - 1
 _FAST_SLOTS = 4  # slot-assembly fast path bound (typical blocks emit ~2)
 
@@ -431,7 +435,7 @@ def _pick_tr(w: int) -> int:
     return 0  # 0 = no v3 kernel for this w
 
 
-def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
+def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     """Van Herk windowed argmin with in-kernel emission compaction.
 
     Emissions of block b-1 are computed during block b (stored suffix +
@@ -439,19 +443,32 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
     full per-window argmin array, window results land in VMEM scratch and a
     per-block assembly pass compacts the emitted windows (argmin moved vs
     the previous window, btllib semantics) into ``_NSLOT`` slots per
-    (lane, block) — emission density is ~2 per w windows, so 7 slots give a
-    wide margin; the raw per-lane count lands in slot row 7 so the caller
-    can detect overflow and fall back to the full-array path.
+    (lane, block); the raw per-lane count lands in the last slot row so the
+    caller can detect overflow and fall back to the full-array path.
+
+    **Equal-hash runs are stored compressed.**  Inside a repeat whose k-mer
+    hash dominates the window, the leftmost-tie argmin advances by the
+    repeat period every slide (1 for homopolymers, p for period-p
+    microsatellites) and the uncompressed emission stream would blow any
+    slot bound (btllib emits every such position — the reference TSV
+    artifact requires them).  An emission whose argmin advanced by the SAME
+    stride as the previous emission with the min VALUE unchanged, and whose
+    predecessor window also emitted, is a run continuation ("slide"): it
+    increments the open slot's packed (count, stride) run word instead of
+    taking a slot.  The host expands slot (pos, hash, count, stride) to
+    pos + j*stride — bit-equal to the uncompressed stream, so slot overflow
+    needs > _NSLOT DISTINCT minima per w windows, which is
+    density-pathological rather than repeat-content-dependent.
 
     scal_ref: SMEM (2,) i32 = [L (stream rows per chunk), n_windows].
     With ``has_flags`` an extra per-window input carries bit0 = window
     valid, bit1 = force-emit (record starts in the multi paths).
     """
     if has_flags:
-        (lo_ref, hi_ref, flg_ref, oix_ref, olo_ref, ohi_ref,
+        (lo_ref, hi_ref, flg_ref, oix_ref, olo_ref, ohi_ref, orun_ref,
          s_lo, s_hi, s_ix, r_lo, r_hi, r_ix, pcar) = refs
     else:
-        (lo_ref, hi_ref, oix_ref, olo_ref, ohi_ref,
+        (lo_ref, hi_ref, oix_ref, olo_ref, ohi_ref, orun_ref,
          s_lo, s_hi, s_ix, r_lo, r_hi, r_ix, pcar) = refs
         flg_ref = None
     g = pl.program_id(0)
@@ -525,31 +542,61 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
         valid &= (f & 1) == 1
         first |= (f & 2) != 0
     rix = r_ix[pl.ds(0, w), :]
+    rlo = jax.lax.bitcast_convert_type(r_lo[pl.ds(0, w), :], _I32)
+    rhi = jax.lax.bitcast_convert_type(r_hi[pl.ds(0, w), :], _I32)
     prev_ix = jnp.concatenate([pcar[0:1, :], rix[: w - 1]], axis=0)
-    emit = (valid & (first | (rix != prev_ix))).astype(_I32)
-    # inclusive scan of emit over the block's rows (log2 w shifted adds)
+    emiti = (valid & (first | (rix != prev_ix))).astype(_I32)
+    # run continuation ("slide"): argmin advanced by the SAME stride as the
+    # previous emission with the min value unchanged, AND the predecessor
+    # window emitted (anchors every slide chain to an in-block head; row 0's
+    # prev_emit is 0 so runs never span blocks — a seam just opens a new
+    # run entry, which expands to the same stream).  The stride test, not
+    # just +1, is what compresses PERIODIC repeats: a period-p
+    # microsatellite advances the argmin by p per window, costing 2 fresh
+    # entries (the entering jump + the stride-defining step) and slides for
+    # the rest.  Mask algebra stays in i32 — Mosaic cannot relayout i1
+    # vregs ("Invalid vector register cast" on bool concatenate).
+    if runs_on:
+        prev_emit = jnp.concatenate(
+            [jnp.zeros((1, _LANE), _I32), emiti[: w - 1]], axis=0
+        )
+        prev_lo = jnp.concatenate([rlo[:1], rlo[: w - 1]], axis=0)
+        prev_hi = jnp.concatenate([rhi[:1], rhi[: w - 1]], axis=0)
+        d = rix - prev_ix
+        prev_d = jnp.concatenate([d[:1], d[: w - 1]], axis=0)
+        slide_i = (
+            emiti
+            * prev_emit
+            * (1 - first.astype(_I32))
+            * (d == prev_d).astype(_I32)
+            * (rlo == prev_lo).astype(_I32)
+            * (rhi == prev_hi).astype(_I32)
+        )
+        fresh = emiti - slide_i
+    else:
+        # stream-compacted callers: rank+1 is NOT genomic position+1, so
+        # runs cannot expand arithmetically — emit uncompressed
+        fresh = emiti
+    # inclusive scan of fresh over the block's rows (log2 w shifted adds)
     zf = jnp.zeros((w, _LANE), _I32)
-    ecum = emit
+    ecum = fresh
     s = 1
     while s < w:
         ecum = ecum + _shift_down(ecum, s, zf)
         s *= 2
     slot = ecum - 1
-    # Mosaic has no unsigned reductions: bitcast the hash words to i32 and
-    # select-by-SUM (at most one row matches a slot, fill 0 -> the sum IS
-    # the selected value, bit-exact)
-    rlo = jax.lax.bitcast_convert_type(r_lo[pl.ds(0, w), :], _I32)
-    rhi = jax.lax.bitcast_convert_type(r_hi[pl.ds(0, w), :], _I32)
-    emitb = emit == 1
     cnt = ecum[w - 1 : w]
 
     def assemble(ns):
-        # each live slot costs ~4 full-block reductions; typical blocks
+        # each live slot costs ~5 full-block reductions; typical blocks
         # emit ~2/lane, so the dense tail runs only when a lane actually
-        # filled past the fast bound
-        out_ix_rows, out_lo_rows, out_hi_rows = [], [], []
+        # filled past the fast bound.  Mosaic has no unsigned reductions:
+        # hash words ride as bitcast i32 and select-by-SUM (at most one
+        # fresh row matches a slot, fill 0 -> the sum IS the value).
+        out_ix_rows, out_lo_rows, out_hi_rows, out_run_rows = [], [], [], []
         for c in range(ns):
-            sel = emitb & (slot == c)
+            selc = slot == c
+            sel = (fresh == 1) & selc
             hit = jnp.sum(sel.astype(_I32), axis=0, keepdims=True) > 0
             vix = jnp.sum(jnp.where(sel, rix, 0), axis=0, keepdims=True)
             out_ix_rows.append(jnp.where(hit, vix, -1))
@@ -559,17 +606,31 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
             out_hi_rows.append(
                 jnp.sum(jnp.where(sel, rhi, 0), axis=0, keepdims=True)
             )
+            runc = jnp.sum(jnp.where(selc, emiti, 0), axis=0, keepdims=True)
+            if runs_on:
+                # all slides of a run share one stride (the slide test
+                # enforces d == prev_d along the chain): max extracts it
+                strd = jnp.max(
+                    jnp.where((slide_i == 1) & selc, d, 0),
+                    axis=0, keepdims=True,
+                )
+                runc = runc | (strd << 16)  # packed (count, stride)
+            out_run_rows.append(runc)  # fresh entry + its slides
         pad = _NSLOT - ns
         if pad:
             out_ix_rows.append(jnp.full((pad, _LANE), -1, _I32))
             out_lo_rows.append(jnp.zeros((pad, _LANE), _I32))
             out_hi_rows.append(jnp.zeros((pad, _LANE), _I32))
+            out_run_rows.append(jnp.zeros((pad, _LANE), _I32))
         oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
         olo_ref[0, 0] = jnp.concatenate(
             out_lo_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
         )
         ohi_ref[0, 0] = jnp.concatenate(
             out_hi_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
+        )
+        orun_ref[0, 0] = jnp.concatenate(
+            out_run_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
         )
 
     mc = jnp.max(cnt)
@@ -600,23 +661,26 @@ def _window_emit_kernel(w, tr, has_flags, scal_ref, *refs):
     jax.lax.fori_loop(0, nt, bwd, init)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
-def _window_emit_chunked(lo, hi, scal, w: int, flags=None, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("w", "runs", "interpret"))
+def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
+                         interpret: bool = False):
     """Slot-compacted per-window emissions, per lane (kernel v3).
 
     Inputs (GROUPS, rows, LANE) group-major, rows a multiple of w with one
     final all-max block; ``scal`` = i32[2] (L, n_windows).  ``flags`` (same
     shape, indexed by window row) carries bit0 = window-valid / bit1 =
-    force-emit when given.  Returns (ix, lo, hi) of shape
-    (GROUPS, nb-1, _SLOTS, LANE): rows 0..6 = emitted window argmin stream
-    index / winning hash words in window order, -1/0 padded; row 7 of ix =
-    the raw per-lane emission count for overflow detection.
+    force-emit when given.  Returns (ix, lo, hi, run) of shape
+    (GROUPS, nb-1, _SLOTS, LANE): rows 0.._NSLOT-1 = emitted window argmin
+    stream index / winning hash words / equal-hash run length, in window
+    order, -1/0 padded; row _NSLOT of ix = the raw per-lane fresh-emission
+    count for overflow detection.
     """
     groups, rows, _ = lo.shape
     nb = rows // w
     tr = _pick_tr(w)
     if tr == 0:
         raise ValueError(f"no v3 scan tiling for w={w}")
+    runs = runs and w < (1 << 16)  # run words pack (count, stride) 16/16
     in_spec = pl.BlockSpec(
         (1, w, _LANE), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
@@ -636,14 +700,15 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, interpret: bool = Fal
     args = (scal, lo, hi) + ((flags,) if has_flags else ())
     out_sh = (groups, nb - 1, _SLOTS, _LANE)
     return pl.pallas_call(
-        functools.partial(_window_emit_kernel, w, tr, has_flags),
+        functools.partial(_window_emit_kernel, w, tr, has_flags, runs),
         grid=(groups, nb),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec, out_spec),
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(  # hash words ride as bitcast i32 (no unsigned reductions)
             jax.ShapeDtypeStruct(out_sh, _I32),
             jax.ShapeDtypeStruct(out_sh, _I32),
             jax.ShapeDtypeStruct(out_sh, _I32),
+            jax.ShapeDtypeStruct(out_sh, _I32),  # run lengths
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * w, _LANE), _U32),  # suffix lo
@@ -661,7 +726,7 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, interpret: bool = Fal
     )(*args)
 
 
-def _compact_slots(oix, olo, ohi, cap: int):
+def _compact_slots(oix, olo, ohi, orun, cap: int):
     """Global-order compaction of the slotted kernel outputs.
 
     (GROUPS, nbm1, _SLOTS, LANE) -> cap-bounded (pos, lo, hi) in ascending
@@ -731,7 +796,8 @@ def _compact_slots(oix, olo, ohi, cap: int):
     out_hi = jax.lax.bitcast_convert_type(
         jnp.where(alive, ohi.reshape(-1)[src], 0), _U32
     )
-    return out_pos, out_lo, out_hi, total, slots_ok
+    out_run = jnp.where(alive, orun.reshape(-1)[src], 0)
+    return out_pos, out_lo, out_hi, out_run, total, slots_ok
 
 
 # -- fused device pipeline ---------------------------------------------------
@@ -859,6 +925,34 @@ def _invert_ranks(within_flat, lane_cum, ranks, rows: int):
         span //= 8
     r = jnp.minimum(r, rows - 1)
     return r * nl + lane
+
+
+def _expand_runs(pos, lo, hi, runs):
+    """Expand compressed equal-hash runs into per-position emissions.
+
+    ``runs`` words pack (count, stride) as low/high 16 bits: entry
+    (p, h, count, stride) becomes positions p, p+stride, ...,
+    p+(count-1)*stride, each with hash words h — exactly the uncompressed
+    emission stream (every slide's argmin advanced by the run's stride
+    with the window-min value unchanged; stride 1 = homopolymer, stride
+    p = period-p microsatellite).  ``runs is None`` means the stream is
+    already uncompressed.
+    """
+    if runs is None:
+        return pos, lo, hi
+    runs = np.asarray(runs, dtype=np.int64)
+    if runs.size == 0:
+        return pos, lo, hi
+    counts = runs & 0xFFFF
+    if int(counts.max(initial=1)) <= 1:
+        return pos, lo, hi
+    strides = runs >> 16
+    idx = np.repeat(np.arange(runs.shape[0]), counts)
+    starts = np.cumsum(counts) - counts
+    off = (
+        np.arange(idx.shape[0], dtype=np.int64) - starts[idx]
+    ) * np.maximum(strides[idx], 1)
+    return pos[idx] + off, lo[idx], hi[idx]
 
 
 _COMPACT_MODE = os.environ.get("NTJOIN_TPU_COMPACT", "bsearch")
@@ -1029,13 +1123,13 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
         gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
         gm_hi = h_hi.transpose(1, 0, 2)
         scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
-        oix, olo, ohi = _window_emit_chunked.__wrapped__(
+        oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
             gm_lo, gm_hi, scal, w, flags=flags, interpret=interpret
         )
-        out_pos, out_lo, out_hi, count, slots_ok = _compact_slots(
-            oix, olo, ohi, cap
+        out_pos, out_lo, out_hi, out_run, count, slots_ok = _compact_slots(
+            oix, olo, ohi, orun, cap
         )
-        return out_pos, out_lo, out_hi, count, ok, slots_ok
+        return out_pos, out_lo, out_hi, count, ok, slots_ok, out_run
 
     row_iota = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 0)
@@ -1113,7 +1207,7 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     h_flat = h_row * (_SUB * _LANE) + h_chunk
     out_lo = h_lo.reshape(-1)[h_flat]
     out_hi = h_hi.reshape(-1)[h_flat]
-    return out_pos, out_lo, out_hi, count, ok, jnp.asarray(True)
+    return out_pos, out_lo, out_hi, count, ok, jnp.asarray(True), None
 
 
 @functools.partial(
@@ -1339,12 +1433,12 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
         scal = jnp.stack(
             [jnp.asarray(L2, _I32), (stream_count - w + 1).astype(_I32)]
         )
-        oix, olo, ohi = _window_emit_chunked.__wrapped__(
+        oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
             s_lo.transpose(1, 0, 2), s_hi.transpose(1, 0, 2), scal, w,
-            flags=flags, interpret=interpret,
+            flags=flags, runs=False, interpret=interpret,
         )
-        out_rank, out_lo, out_hi, count, slots_ok = _compact_slots(
-            oix, olo, ohi, cap
+        out_rank, out_lo, out_hi, _run1, count, slots_ok = _compact_slots(
+            oix, olo, ohi, orun, cap
         )
         s_row = out_rank % L2
         s_chunk = out_rank // L2
@@ -1501,18 +1595,19 @@ def sketch_codes_pallas(
     try:
         for mult in (5, 20):
             cap = max(mult * (nk // w + 1) // 2, 4096) + _CHUNKS
-            pos, lo, hi, count, ok, slots_ok = _sketch_fused(
+            pos, lo, hi, count, ok, slots_ok, run = _sketch_fused(
                 dev, n, k, w, cap, interpret=interpret, mode=cmode
             )
             if bool(ok) and not bool(slots_ok):
                 # some (lane, block) emitted past the slot bound: the
                 # full-array compaction path is exact for any density
-                pos, lo, hi, count, ok, _ = _sketch_fused(
+                pos, lo, hi, count, ok, _, run = _sketch_fused(
                     dev, n, k, w, cap, interpret=interpret, mode=cmode,
                     slots=False,
                 )
             if not bool(ok):
                 # N-containing record: device-side stream compaction path
+                run = None  # general-path emissions are uncompressed
                 if cseg is None:  # hoisted: codes don't change across retries
                     cseg = _seg_cap(codes)
                 pos, lo, hi, count, stream_count, seg_count, g_slots_ok = (
@@ -1548,6 +1643,9 @@ def sketch_codes_pallas(
     pos = np.asarray(pos[:cnt]).astype(np.int64)
     lo_np = np.asarray(lo[:cnt])
     hi_np = np.asarray(hi[:cnt])
+    runs_np = None if run is None else np.asarray(run[:cnt])
+    pos, lo_np, hi_np = _expand_runs(pos, lo_np, hi_np, runs_np)
+    cnt = pos.shape[0]
     keep = np.empty(cnt, dtype=bool)
     keep[0] = True
     keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe
@@ -1778,13 +1876,14 @@ def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
     try:
         for attempt in range(2):
             if use_fast:
-                pos, lo, hi, count, ok, slots_ok = out
+                pos, lo, hi, count, ok, slots_ok, run = out
                 if not bool(slots_ok):  # slot overflow: exact fallback
-                    pos, lo, hi, count, ok, _ = _sketch_fused(
+                    pos, lo, hi, count, ok, _, run = _sketch_fused(
                         dev, total, k, w, cap, multi=True,
                         interpret=interpret, mode=cmode, slots=False,
                     )
             else:
+                run = None  # general-path emissions are uncompressed
                 pos, lo, hi, count, _, seg_count, g_slots_ok = out
                 if not bool(g_slots_ok):  # slot overflow: exact fallback
                     pos, lo, hi, count, _, seg_count, _ = (
@@ -1824,20 +1923,22 @@ def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
     outs: list[Sketch] = [empty] * n_rec
     if cnt == 0:
         return outs
-    # one stacked fetch instead of three (each device->host fetch pays a
-    # ~25 ms tunnel round-trip)
-    stacked = np.asarray(
-        jnp.stack(
-            [
-                jax.lax.bitcast_convert_type(pos[:cnt], jnp.uint32),
-                lo[:cnt],
-                hi[:cnt],
-            ]
-        )
-    )
+    # one stacked fetch instead of three/four (each device->host fetch
+    # pays a ~25 ms tunnel round-trip)
+    cols = [
+        jax.lax.bitcast_convert_type(pos[:cnt], jnp.uint32),
+        lo[:cnt],
+        hi[:cnt],
+    ]
+    if run is not None:
+        cols.append(jax.lax.bitcast_convert_type(run[:cnt], jnp.uint32))
+    stacked = np.asarray(jnp.stack(cols))
     pos = stacked[0].view(np.int32).astype(np.int64)
     lo_np = stacked[1]
     hi_np = stacked[2]
+    runs_np = stacked[3].view(np.int32) if run is not None else None
+    pos, lo_np, hi_np = _expand_runs(pos, lo_np, hi_np, runs_np)
+    cnt = pos.shape[0]
     keep = np.empty(cnt, dtype=bool)
     keep[0] = True
     keep[1:] = pos[1:] != pos[:-1]  # chunk-seam dedupe

@@ -113,14 +113,14 @@ def main():
     def upto_window(cp):
         gl, gh, ok = prep(cp)
         scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
-        oix, olo, ohi = _window_emit_chunked.__wrapped__(gl, gh, scal, w)
+        oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(gl, gh, scal, w)
         return ok, jnp.sum(oix[:, :, 15, :]), oix[0, 0, 0, 0]
 
     def full(cp):
         gl, gh, ok = prep(cp)
         scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
-        oix, olo, ohi = _window_emit_chunked.__wrapped__(gl, gh, scal, w)
-        pos, lo, hi, count, slots_ok = _compact_slots(oix, olo, ohi, cap)
+        oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(gl, gh, scal, w)
+        pos, lo, hi, run, count, slots_ok = _compact_slots(oix, olo, ohi, orun, cap)
         return count
 
     for name, fn in [

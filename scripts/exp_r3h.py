@@ -100,7 +100,7 @@ def main():
             a.transpose(1, 0, 2), b.transpose(1, 0, 2), scal, w
         )
 
-    oix, olo, ohi = jax.tree_util.tree_map(
+    oix, olo, ohi, orun = jax.tree_util.tree_map(
         jnp.copy, window_out(dev)
     )
     sync(oix)
@@ -189,7 +189,7 @@ def main():
 
     # s6: full _compact_slots
     from ntjoin_tpu.ops.sketch_pallas import _compact_slots
-    s6 = jax.jit(lambda: _compact_slots(oix, olo, ohi, cap)[3])
+    s6 = jax.jit(lambda: _compact_slots(oix, olo, ohi, orun, cap)[4])
     p(f"s6 full compact: {timeit(s6)*1e3:.1f} ms")
 
     if time.monotonic() - T0 < BUDGET - 300:

@@ -51,12 +51,19 @@ def test_fused_pipeline_parity():
         cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
         ref = sketch_codes(codes, k, w)
         for slots in (True, False):  # v3 slot kernel and full-array path
-            pos, lo, hi, count, ok, slots_ok = _sketch_fused(
+            pos, lo, hi, count, ok, slots_ok, run = _sketch_fused(
                 jnp.asarray(buf), n, k, w, cap, interpret=True, slots=slots
             )
             assert bool(ok) and bool(slots_ok)
             cnt = int(count)
             pos_np = np.asarray(pos[:cnt]).astype(np.int64)
+            if run is not None:
+                from ntjoin_tpu.ops.sketch_pallas import _expand_runs
+
+                pos_np, _, _ = _expand_runs(
+                    pos_np, pos_np, pos_np, np.asarray(run[:cnt])
+                )
+                cnt = pos_np.shape[0]
             keep = np.ones(cnt, bool)
             keep[1:] = pos_np[1:] != pos_np[:-1]
             got_pos = pos_np[np.flatnonzero(keep)]
@@ -232,3 +239,56 @@ def test_seg_cap_bound():
     assert _seg_cap(flat) == 4096
     flat[::2] = 4  # pathological alternation: 5000 invalid runs
     assert _seg_cap(flat) >= 5000
+
+
+def test_equal_hash_run_compression_parity():
+    """Repeat runs (homopolymers/microsatellites) slide the window argmin
+    one position per window; the v3 kernel stores them compressed (fresh
+    entry + run length) and the host expansion must reproduce btllib's
+    uncompressed emission stream bit-for-bit — including windows fully
+    inside the run, where every k-mer hash is identical."""
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+    from ntjoin_tpu.ops.sketch_pallas import (
+        sketch_codes_pallas, sketch_records_pallas,
+    )
+
+    rng = np.random.default_rng(77)
+    k, w = 15, 16
+    codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    codes[5_000:5_200] = 1      # poly-C, longer than k+w: guaranteed slides
+    codes[20_000:20_060] = 3    # shorter poly-T
+    codes[40_000:40_100:2] = 0  # AT microsatellite (stride-2 slides)
+    codes[40_001:40_101:2] = 3
+    ref = sketch_codes(codes, k, w)
+    got = sketch_codes_pallas(codes, k, w, interpret=True)
+    assert got.positions.tolist() == ref.positions.tolist()
+    assert got.hashes.tolist() == ref.hashes.tolist()
+
+    # the 200-long poly-C emits every window of its interior blocks (16 per
+    # 16-window block > 15 slots uncompressed): compression must keep the
+    # record on the slot path
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.ops.sketch_pallas import (
+        _CHUNKS, _ROW_BLOCK, _ceil_to, _sketch_fused,
+    )
+
+    n = codes.shape[0]
+    nk = n - k + 1
+    halo = w + k - 2
+    L = -(-nk // _CHUNKS)
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    buf = np.full(_CHUNKS * L + code_rows, 4, dtype=np.int8)
+    buf[:n] = codes
+    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+    out = _sketch_fused(jnp.asarray(buf), n, k, w, cap, interpret=True)
+    assert bool(out[4]), "ok flag"
+    assert bool(out[5]), "repeat runs must stay within the slot bound"
+
+    # multi-record device call with runs inside and at record edges
+    recs = [codes[:30_000], codes[30_000:], codes[4_990:5_230]]
+    outs = sketch_records_pallas(recs, k, w, interpret=True)
+    for rec, out in zip(recs, outs):
+        r = sketch_codes(rec, k, w)
+        assert out.positions.tolist() == r.positions.tolist()
+        assert out.hashes.tolist() == r.hashes.tolist()
