@@ -263,7 +263,10 @@ def main():
         ) / 4  # oracle runs on a quarter slice
         baseline_name = "numpy oracle"
 
-    dev = _run_sub(_DEVICE_BODY.format(size=size), timeout=2400)
+    # session setup over the relay has a measured 35-min worst case; give
+    # the device subprocess room past it (a timeout-kill also wedges the
+    # chip for the later e2e stages)
+    dev = _run_sub(_DEVICE_BODY.format(size=size), timeout=3300)
     detail = {
         "k": k,
         "w": w,

@@ -1755,13 +1755,17 @@ def _patch_emissions(codes, k: int, w: int, segs, nks, offs, patch_ivs):
 
 
 def _batch_i32_safe() -> int:
-    """Batch-size ceiling, the tighter of two limits: (a) device positions
-    are i32 (2^31 flat bases); (b) the fused pipeline keeps ~50 B of
-    intermediates per base live, so one batch must fit HBM (v5e: 16 GB
-    -> ~200 Mbp per call)."""
+    """Batch-size ceiling, the tightest of three limits: (a) device
+    positions are i32 (2^31 flat bases); (b) the fused pipeline keeps
+    ~50 B of intermediates per base live, so one batch must fit HBM
+    (v5e: 16 GB -> ~200 Mbp per call); (c) the upload is the bottleneck
+    over the relay and batches pipeline (all dispatches precede any
+    sync), so mid-size batches hide compute + fetch inside the next
+    batch's upload — 64 MB measured best on a 134 Mbp assembly (1.00 s
+    vs 1.28 s single-batch; 16-32 MB drown in per-batch fixed costs)."""
     return min(
         (1 << 31) - (1 << 20),
-        int(os.environ.get("NTJOIN_TPU_BATCH_BASES", 192 * 2**20)),
+        int(os.environ.get("NTJOIN_TPU_BATCH_BASES", 64 * 2**20)),
     )
 
 
