@@ -448,16 +448,20 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
 
     **Equal-hash runs are stored compressed.**  Inside a repeat whose k-mer
     hash dominates the window, the leftmost-tie argmin advances by the
-    repeat period every slide (1 for homopolymers, p for period-p
-    microsatellites) and the uncompressed emission stream would blow any
-    slot bound (btllib emits every such position — the reference TSV
-    artifact requires them).  An emission whose argmin advanced by the SAME
-    stride as the previous emission with the min VALUE unchanged, and whose
-    predecessor window also emitted, is a run continuation ("slide"): it
-    increments the open slot's packed (count, stride) run word instead of
-    taking a slot.  The host expands slot (pos, hash, count, stride) to
-    pos + j*stride — bit-equal to the uncompressed stream, so slot overflow
-    needs > _NSLOT DISTINCT minima per w windows, which is
+    repeat period (1 for homopolymers and reverse-complement-symmetric
+    repeats like AT/CG, p for period-p microsatellites with distinct phase
+    hashes — those emit only every p-th window) and the uncompressed
+    emission stream would blow any slot bound (btllib emits every such
+    position — the reference TSV artifact requires them).  An emission
+    whose argmin advanced by the SAME stride as the previous emission with
+    the min VALUE unchanged is a run continuation ("slide"): it increments
+    the open slot's packed (count, stride) run word instead of taking a
+    slot.  The previous emission's position and hash ride on the previous
+    window row (argmin and win-value are constant between emissions); its
+    stride comes from a packed last-nonzero propagate scan, so slides need
+    NOT be consecutive windows.  The host expands slot (pos, hash, count,
+    stride) to pos + j*stride — bit-equal to the uncompressed stream, so
+    slot overflow needs > _NSLOT DISTINCT minima per w windows, which is
     density-pathological rather than repeat-content-dependent.
 
     scal_ref: SMEM (2,) i32 = [L (stream rows per chunk), n_windows].
@@ -546,29 +550,43 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     rhi = jax.lax.bitcast_convert_type(r_hi[pl.ds(0, w), :], _I32)
     prev_ix = jnp.concatenate([pcar[0:1, :], rix[: w - 1]], axis=0)
     emiti = (valid & (first | (rix != prev_ix))).astype(_I32)
+    zf = jnp.zeros((w, _LANE), _I32)
     # run continuation ("slide"): argmin advanced by the SAME stride as the
-    # previous emission with the min value unchanged, AND the predecessor
-    # window emitted (anchors every slide chain to an in-block head; row 0's
-    # prev_emit is 0 so runs never span blocks — a seam just opens a new
-    # run entry, which expands to the same stream).  The stride test, not
-    # just +1, is what compresses PERIODIC repeats: a period-p
-    # microsatellite advances the argmin by p per window, costing 2 fresh
-    # entries (the entering jump + the stride-defining step) and slides for
-    # the rest.  Mask algebra stays in i32 — Mosaic cannot relayout i1
-    # vregs ("Invalid vector register cast" on bool concatenate).
+    # previous emission with the min value unchanged.  Between emissions the
+    # window argmin — and therefore the window-min VALUE — is constant, so
+    # the previous ROW already carries the last emission's position (its
+    # stride is d = rix - prev_ix) and hash (prev_lo/prev_hi); only the
+    # PREVIOUS emission's own stride needs history, supplied by one packed
+    # propagate scan (last nonzero (d<<1|1) word over earlier rows).  The
+    # stride test, not just +1, is what compresses PERIODIC repeats: a
+    # period-p microsatellite with distinct phase hashes emits every p-th
+    # window with argmin stride p (non-consecutive emissions — the phases
+    # are distinct k-mers, but the winning phase's hash is constant), so a
+    # run costs 2 fresh entries (the entering jump + the stride-defining
+    # step) and slides for the rest.  The first in-block emission has no
+    # in-block predecessor (the scan starts empty), so runs never span
+    # blocks — a seam just opens a new run entry, which expands to the same
+    # stream.  Mask algebra stays in i32 — Mosaic cannot relayout i1 vregs
+    # ("Invalid vector register cast" on bool concatenate).
     if runs_on:
-        prev_emit = jnp.concatenate(
-            [jnp.zeros((1, _LANE), _I32), emiti[: w - 1]], axis=0
-        )
         prev_lo = jnp.concatenate([rlo[:1], rlo[: w - 1]], axis=0)
         prev_hi = jnp.concatenate([rhi[:1], rhi[: w - 1]], axis=0)
         d = rix - prev_ix
-        prev_d = jnp.concatenate([d[:1], d[: w - 1]], axis=0)
+        # propagate the last emission's packed stride word down the rows
+        # (d <= w < 2^15 for real strides; the block-leading emission's
+        # d can be a huge entering jump, still < 2^30 so the pack is safe
+        # and — being compared against real strides <= w — inert)
+        pv = (((d << 1) | 1)) * emiti
+        s = 1
+        while s < w:
+            pv = jnp.where(pv != 0, pv, _shift_down(pv, s, zf))
+            s *= 2
+        prev_pv = _shift_down(pv, 1, zf)  # last emission strictly above
         slide_i = (
             emiti
-            * prev_emit
+            * (prev_pv & 1)
             * (1 - first.astype(_I32))
-            * (d == prev_d).astype(_I32)
+            * (d == (prev_pv >> 1)).astype(_I32)
             * (rlo == prev_lo).astype(_I32)
             * (rhi == prev_hi).astype(_I32)
         )
@@ -578,7 +596,6 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
         # runs cannot expand arithmetically — emit uncompressed
         fresh = emiti
     # inclusive scan of fresh over the block's rows (log2 w shifted adds)
-    zf = jnp.zeros((w, _LANE), _I32)
     ecum = fresh
     s = 1
     while s < w:
@@ -680,7 +697,10 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
     tr = _pick_tr(w)
     if tr == 0:
         raise ValueError(f"no v3 scan tiling for w={w}")
-    runs = runs and w < (1 << 16)  # run words pack (count, stride) 16/16
+    # run words pack (count, stride) 16/16; stride <= w must stay clear of
+    # the packed sign bit (a stride >= 2^15 would sign-extend on the host's
+    # int64 view and corrupt the expansion), hence the 2^15 gate
+    runs = runs and w < (1 << 15)
     in_spec = pl.BlockSpec(
         (1, w, _LANE), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
     )
@@ -946,7 +966,7 @@ def _expand_runs(pos, lo, hi, runs):
     counts = runs & 0xFFFF
     if int(counts.max(initial=1)) <= 1:
         return pos, lo, hi
-    strides = runs >> 16
+    strides = (runs >> 16) & 0x7FFF  # defensive: kernel gates w < 2^15
     idx = np.repeat(np.arange(runs.shape[0]), counts)
     starts = np.cumsum(counts) - counts
     off = (
@@ -1008,10 +1028,6 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
     return count, outs
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),
-)
 @functools.partial(
     jax.jit,
     static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),

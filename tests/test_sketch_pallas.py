@@ -257,8 +257,16 @@ def test_equal_hash_run_compression_parity():
     codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
     codes[5_000:5_200] = 1      # poly-C, longer than k+w: guaranteed slides
     codes[20_000:20_060] = 3    # shorter poly-T
-    codes[40_000:40_100:2] = 0  # AT microsatellite (stride-2 slides)
+    # AT microsatellite: the phases are reverse complements, so every k-mer
+    # in the run shares ONE canonical hash and the argmin advances 1 per
+    # window (stride-1 slides, like a homopolymer)
+    codes[40_000:40_100:2] = 0
     codes[40_001:40_101:2] = 3
+    # AC microsatellite: distinct phase hashes — the winning phase emits
+    # every 2nd window only (non-consecutive), exercising the stride-2
+    # propagate-scan slide test
+    codes[52_000:52_400:2] = 0
+    codes[52_001:52_401:2] = 1
     ref = sketch_codes(codes, k, w)
     got = sketch_codes_pallas(codes, k, w, interpret=True)
     assert got.positions.tolist() == ref.positions.tolist()
@@ -292,3 +300,60 @@ def test_equal_hash_run_compression_parity():
         r = sketch_codes(rec, k, w)
         assert out.positions.tolist() == r.positions.tolist()
         assert out.hashes.tolist() == r.hashes.tolist()
+
+
+def test_periodic_repeat_stays_in_slot():
+    """A long dinucleotide repeat with DISTINCT phase hashes (AC) emits
+    every 2nd window; stride-2 run compression must keep the call on the
+    v3 slot path (no full-array fallback) with bit-exact expansion."""
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+    from ntjoin_tpu.ops.sketch_pallas import (
+        _CHUNKS, _ROW_BLOCK, _ceil_to, _sketch_fused, sketch_codes_pallas,
+    )
+
+    rng = np.random.default_rng(9)
+    k, w = 15, 64
+    codes = rng.integers(0, 4, size=70_000).astype(np.uint8)
+    codes[30_000:30_600:2] = 0  # 600 bp AC repeat
+    codes[30_001:30_601:2] = 1
+
+    n = codes.shape[0]
+    nk = n - k + 1
+    halo = w + k - 2
+    L = -(-nk // _CHUNKS)
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    buf = np.full(_CHUNKS * L + code_rows, 4, dtype=np.int8)
+    buf[:n] = codes
+    cap = max(4 * (nk // w + 1), 4096) + _CHUNKS
+    out = _sketch_fused(jnp.asarray(buf), n, k, w, cap, interpret=True)
+    assert bool(out[4]), "ok flag"
+    assert bool(out[5]), "stride-2 runs must compress within the slot bound"
+
+    ref = sketch_codes(codes, k, w)
+    got = sketch_codes_pallas(codes, k, w, interpret=True)
+    assert got.positions.tolist() == ref.positions.tolist()
+    assert got.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_expand_runs_strided():
+    """_expand_runs unpacks (count, stride) words into arithmetic position
+    runs — including stride > 1 and the count<=1 passthrough."""
+    from ntjoin_tpu.ops.sketch_pallas import _expand_runs
+
+    pos = np.array([10, 100, 500], dtype=np.int64)
+    lo = np.array([1, 2, 3], dtype=np.uint32)
+    hi = np.array([4, 5, 6], dtype=np.uint32)
+    # entry 0: count 3 stride 2 -> 10, 12, 14; entry 1: count 1;
+    # entry 2: count 4 stride 7 -> 500, 507, 514, 521
+    runs = np.array([(2 << 16) | 3, 1, (7 << 16) | 4], dtype=np.int32)
+    p, l, h = _expand_runs(pos, lo, hi, runs)
+    assert p.tolist() == [10, 12, 14, 100, 500, 507, 514, 521]
+    assert l.tolist() == [1, 1, 1, 2, 3, 3, 3, 3]
+    assert h.tolist() == [4, 4, 4, 5, 6, 6, 6, 6]
+
+    # count<=1 everywhere short-circuits to the inputs unchanged
+    runs1 = np.array([1, 1, 0], dtype=np.int32)
+    p1, l1, h1 = _expand_runs(pos, lo, hi, runs1)
+    assert p1 is pos and l1 is lo and h1 is hi
