@@ -82,13 +82,22 @@ def _truthy(val: str) -> bool:
 
 _PROBE_TTL_S = 600.0
 
+# Routing policy for backend=auto (see _auto_wants_device): a device whose
+# tiny-op round-trip is this fast is locally attached (PCIe ~O(0.1 ms));
+# anything slower is a network relay where per-op latency and MB/s-scale
+# transfers dominate small jobs.
+_LOCAL_OP_MS = 2.0
+_LOCAL_MIN_BASES = 8_000_000  # local device wins early (compile amortized)
+_RELAY_MIN_BASES = 4_000_000_000  # relay: host native wins at human scale
 
-def _device_healthy(timeout: float = 45.0) -> bool:
-    """Probe accelerator health in a throwaway subprocess (init can hang
-    when the tunnel is down — see CLAUDE.md).
 
-    The verdict is cached on disk for ``_PROBE_TTL_S`` so repeated CLI runs
-    against a dead tunnel don't each pay the full probe timeout.
+def _device_probe(timeout: float = 45.0) -> tuple[bool, float]:
+    """Probe accelerator health + per-op round-trip latency in a throwaway
+    subprocess (init can hang when the tunnel is down — see CLAUDE.md).
+
+    Returns (healthy, op_ms).  The verdict is cached on disk for
+    ``_PROBE_TTL_S`` so repeated CLI runs against a dead tunnel don't each
+    pay the full probe timeout.
     """
     import subprocess
     import tempfile
@@ -96,37 +105,79 @@ def _device_healthy(timeout: float = 45.0) -> bool:
     cache = os.path.join(tempfile.gettempdir(), "ntjoin_tpu_device_probe")
     try:
         with open(cache, "r", encoding="utf-8") as fh:
-            ts, verdict = fh.read().split()
+            fields = fh.read().split()
+        ts, verdict = fields[0], fields[1]
+        op_ms = float(fields[2]) if len(fields) > 2 else 1e9
         if time.time() - float(ts) < _PROBE_TTL_S:
-            return verdict == "ok"
-    except (OSError, ValueError):
+            return verdict == "ok", op_ms
+    except (OSError, ValueError, IndexError):
         pass
+    healthy, op_ms = False, 1e9
     try:
         res = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp\n"
-             "assert float(jnp.ones(8).sum()) == 8.0\nprint('OK')"],
+             "import time, jax, jax.numpy as jnp\n"
+             "assert float(jnp.ones(8).sum()) == 8.0\n"
+             "t0 = time.monotonic()\n"
+             "for _ in range(3):\n"
+             "    assert float(jnp.ones(8).sum()) == 8.0\n"
+             "print('OK', (time.monotonic() - t0) / 3 * 1e3)"],
             capture_output=True, text=True, timeout=timeout,
         )
-        healthy = "OK" in res.stdout
-    except (subprocess.TimeoutExpired, OSError):
+        for line in res.stdout.splitlines():
+            if line.startswith("OK"):
+                healthy = True
+                op_ms = float(line.split()[1])
+                break
+    except (subprocess.TimeoutExpired, OSError, ValueError, IndexError):
         healthy = False
     try:
         with open(cache, "w", encoding="utf-8") as fh:
-            fh.write(f"{time.time()} {'ok' if healthy else 'bad'}")
+            fh.write(f"{time.time()} {'ok' if healthy else 'bad'} {op_ms:.3f}")
     except OSError:
         pass
-    return healthy
+    return healthy, op_ms
 
 
-def _sketch_backend(name: str):
+def _device_healthy(timeout: float = 45.0) -> bool:
+    return _device_probe(timeout)[0]
+
+
+def _auto_wants_device(total_bases: int | None, op_ms: float) -> bool:
+    """Routing policy for ``backend=auto``: use the device only when the
+    job is expected to WIN there, not merely when a device answers.
+
+    On a locally attached chip (op round-trip under ``_LOCAL_OP_MS``) the
+    device path wins from a few Mbp up.  Over a network relay every
+    dispatch pays the round-trip and uploads move at link speed, so the
+    host native sketcher wins any human-scale job (measured: 30 Mbp e2e
+    7.9 s native vs 21.1 s via the relay, CLAUDE.md) — only beyond
+    ``_RELAY_MIN_BASES`` could the device amortize.  Unknown job size is
+    treated as small (the safe side on a relay).  Thresholds overridable
+    via NTJOIN_TPU_AUTO_LOCAL_MIN / NTJOIN_TPU_AUTO_RELAY_MIN.
+    """
+    bases = total_bases or 0
+    local_min = int(os.environ.get("NTJOIN_TPU_AUTO_LOCAL_MIN", _LOCAL_MIN_BASES))
+    relay_min = int(os.environ.get("NTJOIN_TPU_AUTO_RELAY_MIN", _RELAY_MIN_BASES))
+    if op_ms <= _LOCAL_OP_MS:
+        return bases >= local_min
+    return bases >= relay_min
+
+
+def _sketch_backend(name: str, total_bases: int | None = None):
     """Pick the sketch implementation.
 
-    auto: Pallas device kernels when an accelerator answers a health probe,
-    else the native C++ sketcher, else the NumPy oracle.  All are
-    bit-identical; the parity suites enforce it.
+    auto: Pallas device kernels when an accelerator answers a health probe
+    AND the routing policy expects the device to win for this job size /
+    link latency (``_auto_wants_device``); else the native C++ sketcher,
+    else the NumPy oracle.  All are bit-identical; the parity suites
+    enforce it.
     """
-    if name in ("pallas", "tpu") or (name == "auto" and _device_healthy()):
+    if name == "auto":
+        healthy, op_ms = _device_probe()
+        if healthy and _auto_wants_device(total_bases, op_ms):
+            name = "pallas"
+    if name in ("pallas", "tpu"):
         from ntjoin_tpu.ops.sketch_pallas import sketch_codes_pallas
         from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
 
@@ -291,7 +342,14 @@ def assemble(words: list[str]) -> int:
         return 0
 
     timers = StageTimers(enabled=_truthy(v["time"]), prefix=prefix)
-    backend = _sketch_backend(v["backend"])
+    # file sizes ~ bases (headers/newlines add ~1%): the auto routing input
+    total_bases = 0
+    for fa in [v["target"]] + v["references"].split():
+        try:
+            total_bases += os.path.getsize(fa)
+        except OSError:
+            pass
+    backend = _sketch_backend(v["backend"], total_bases=total_bases)
     index_backend = v["index_backend"]
     if index_backend == "auto":
         index_backend = (

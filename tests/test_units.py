@@ -446,3 +446,56 @@ def test_find_paths_scales_past_pool_territory():
     # the reference forked a pool for this; lockstep must stay sane single-
     # process (generous CI bound — measured ~2 s on the 2-CPU container)
     assert wall < 60.0
+
+
+def test_auto_backend_routing_policy(monkeypatch, tmp_path):
+    """backend=auto routes by expected win (job size + link latency), not
+    mere device presence (round-3 verdict: a healthy relay-attached device
+    must NOT capture host-scale jobs)."""
+    from ntjoin_tpu import cli
+
+    # policy function: local link -> device from a few Mbp; relay link ->
+    # host native until multi-Gbp scale
+    assert not cli._auto_wants_device(30_000_000, op_ms=25.0)  # 30 Mbp relay
+    assert not cli._auto_wants_device(1_000_000_000, op_ms=25.0)  # 1 Gbp relay
+    assert cli._auto_wants_device(5_000_000_000, op_ms=25.0)
+    assert cli._auto_wants_device(30_000_000, op_ms=0.3)  # 30 Mbp local
+    assert not cli._auto_wants_device(1_000_000, op_ms=0.3)  # tiny local
+    assert not cli._auto_wants_device(None, op_ms=0.3)  # unknown = small
+
+    # env overrides
+    monkeypatch.setenv("NTJOIN_TPU_AUTO_RELAY_MIN", "1000")
+    assert cli._auto_wants_device(2000, op_ms=25.0)
+    monkeypatch.delenv("NTJOIN_TPU_AUTO_RELAY_MIN")
+
+    # _sketch_backend: healthy relay device + small job -> native/host path
+    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (True, 25.0))
+    be = cli._sketch_backend("auto", total_bases=30_000_000)
+    assert not be.__module__.endswith(("sketch_pallas", "sketch_jax"))
+    # healthy local device -> pallas path
+    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (True, 0.2))
+    be = cli._sketch_backend("auto", total_bases=30_000_000)
+    assert be.__module__.endswith("sketch_pallas")
+    # unhealthy -> host regardless
+    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (False, 1e9))
+    be = cli._sketch_backend("auto", total_bases=10**10)
+    assert not be.__module__.endswith(("sketch_pallas", "sketch_jax"))
+
+
+def test_device_probe_cache_roundtrip(tmp_path, monkeypatch):
+    """The probe caches (verdict, op_ms) with a TTL and reads both back."""
+    import tempfile
+
+    from ntjoin_tpu import cli
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    cache = tmp_path / "ntjoin_tpu_device_probe"
+    import time as _t
+
+    cache.write_text(f"{_t.time()} ok 17.250")
+    healthy, op_ms = cli._device_probe()
+    assert healthy and abs(op_ms - 17.25) < 1e-6
+    # legacy 2-field cache files (pre round-4) parse as unknown latency
+    cache.write_text(f"{_t.time()} ok")
+    healthy, op_ms = cli._device_probe()
+    assert healthy and op_ms > 1e6
