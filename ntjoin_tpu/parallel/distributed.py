@@ -45,19 +45,20 @@ def global_mesh(axis_name: str = "shard") -> Mesh:
 
 
 def distributed_survive(mesh: Mesh, lo, hi, asm, alive, n_asm: int):
-    """Global uniqueness+intersection verdict across all shards.
+    """Replicated-gather reference implementation of the global verdict.
 
-    The SURVEY §5 collective replacing nothing in the reference (which has
-    no distribution): every shard all-gathers the (hash, assembly) streams,
-    derives the *identical* verdict — a hash survives iff it occurs exactly
-    once in every assembly's global multiset (reference semantics of
-    ``read_minimizers`` + ``filter_minimizers``,
-    ``bin/ntjoin_utils.py:152-193``) — and returns the FULL verdict,
-    replicated, in (device, slot) order matching the gathered layout.
-    Inputs are (n_devices, L) arrays sharded on the mesh axis.
-    Determinism across shardings: the verdict is a pure function of the
-    gathered multiset, so every shard (and every mesh size) agrees
-    bit-for-bit.
+    Every shard all-gathers the FULL (hash, assembly) streams and derives
+    the identical verdict — per-device memory is O(total), which is the
+    replication the pod-scale design excludes.  The product path is
+    ``distributed_survive_sharded`` (hash-bucket all-to-all, per-device
+    memory O(total / n_devices)); this version is kept as the differential-
+    testing oracle (``tests/test_distributed.py`` asserts bit-equality).
+
+    A hash survives iff it occurs exactly once in every assembly's global
+    multiset (reference semantics of ``read_minimizers`` +
+    ``filter_minimizers``, ``bin/ntjoin_utils.py:152-193``).  Inputs are
+    (n_devices, L) arrays sharded on the mesh axis; returns the FULL
+    verdict, replicated, in (device, slot) order.
     """
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -84,23 +85,106 @@ def distributed_survive(mesh: Mesh, lo, hi, asm, alive, n_asm: int):
     return jax.jit(smap)(lo, hi, asm, alive)
 
 
-def gather_counts(mesh: Mesh, local_count: int) -> int:
-    """Total minimizer count across all shards (smoke collective)."""
+def bucket_width_for_rows(hi_rows: np.ndarray, alive_rows: np.ndarray,
+                          n_buckets: int) -> int:
+    """Exact per-(device, bucket) capacity needed by THIS process's rows.
+
+    ``hi_rows``/``alive_rows`` are the (n_local_devices, width) packed
+    arrays about to be sharded; the bucket of an entry is
+    ``hi % n_buckets``.  The global capacity is the max of this value
+    across processes (one tiny host all-gather in the pipeline), so the
+    all-to-all buffers never overflow — no retry path needed.
+    """
+    mx = 1
+    for hi, al in zip(hi_rows, alive_rows):
+        b = (hi[al].astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        if b.size:
+            mx = max(mx, int(np.bincount(b, minlength=n_buckets).max()))
+    return mx
+
+
+def distributed_survive_sharded(
+    mesh: Mesh, lo, hi, asm, alive, n_asm: int, bucket_width: int
+):
+    """Hash-sharded global uniqueness+intersection verdict (the product
+    path; SURVEY hard-part 5).
+
+    Instead of replicating every shard's stream (``distributed_survive``),
+    entries are exchanged by HASH BUCKET: device b owns bucket
+    ``hi % n_devices == b``.  Each shard compacts its live entries into a
+    (n_devices, bucket_width) send buffer, one ``all_to_all`` routes every
+    bucket to its owner, the owner derives the per-bucket verdict locally
+    (equal hashes always share a bucket, so the verdict is exact and a
+    pure function of the bucket multiset — deterministic across mesh
+    sizes), and a reverse ``all_to_all`` returns verdicts to the entries'
+    home shards.  Per-device live memory is
+    O(n_devices * bucket_width) ~ O(total / n_devices) for balanced
+    hashes — the padded input row is never replicated.
+
+    ``bucket_width`` must be >= the max per-(source device, bucket) entry
+    count (use ``bucket_width_for_rows`` + a host max-reduce; exact, so
+    there is no overflow path).  Returns the verdict sharded like the
+    inputs: (n_devices, L) bool, P("shard", None).
+    """
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    n = mesh.devices.size
-    local = jnp.full(1, local_count, jnp.int32)
-    arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("shard")),
-        np.full(
-            len([d for d in jax.local_devices()]), local_count, dtype=np.int32
-        ),
-        (n,),
+    from ntjoin_tpu.ops.device_index import survive_verdict_sorted
+
+    n_dev = mesh.devices.size
+    bw = max(1, int(bucket_width))
+    cap = n_dev * bw
+
+    def step(lo, hi, asm, alive):
+        lo, hi, asm, alive = lo[0], hi[0], asm[0], alive[0]
+        width = lo.shape[0]
+        i32 = jnp.int32
+        bkt = (hi % jnp.uint32(n_dev)).astype(i32)
+        key = jnp.where(alive, bkt, n_dev)  # dead entries sort past buckets
+        sort_idx = jnp.argsort(key, stable=True)
+        key_s = key[sort_idx]
+        iota = jnp.arange(width, dtype=i32)
+        first = jnp.where(
+            jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]]),
+            iota, 0,
+        )
+        rank = iota - jax.lax.cummax(first)  # rank within (device, bucket)
+        dest_s = jnp.where(key_s < n_dev, key_s * bw + rank, cap)
+
+        def scat(v, fill):
+            return jnp.full(cap, fill, v.dtype).at[dest_s].set(
+                v[sort_idx], mode="drop"
+            )
+
+        s_lo = scat(lo, jnp.uint32(0))
+        s_hi = scat(hi, jnp.uint32(0))
+        s_asm = scat(asm, i32(-1))
+        s_alive = scat(alive, False)
+        # where each original slot's entry went (for the verdict return)
+        dest_of = jnp.full(width, cap, i32).at[sort_idx].set(dest_s)
+
+        def exch(x):
+            return jax.lax.all_to_all(
+                x.reshape(n_dev, bw), "shard", 0, 0, tiled=True
+            ).reshape(-1)
+
+        g_lo, g_hi = exch(s_lo), exch(s_hi)
+        g_asm, g_alive = exch(s_asm), exch(s_alive)
+        order, surv_sorted = survive_verdict_sorted(
+            g_lo, g_hi, g_asm, ~g_alive, n_asm
+        )
+        verdict = jnp.zeros(cap, bool).at[order].set(surv_sorted)
+        back = exch(verdict)
+        out = jnp.where(
+            alive, back[jnp.minimum(dest_of, cap - 1)], False
+        )
+        return out[None]
+
+    smap = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("shard", None),) * 4,
+        out_specs=P("shard", None),
+        check_vma=False,
     )
-
-    @jax.jit
-    def total(x):
-        return x.sum()
-
-    return int(total(arr))
+    return jax.jit(smap)(lo, hi, asm, alive)

@@ -6,11 +6,11 @@ replacement for the reference's single-node parallelism (per-assembly
 ``indexlr`` processes, ``/root/reference/ntJoin:204-205``, and the
 ``multiprocessing.Pool`` over components, ``bin/ntjoin.py:164-176``):
 assemblies' records are sharded round-robin across processes, each process
-sketches only its records, the uniqueness+intersection verdict is a single
-collective over the global minimizer multiset (``distributed_survive``),
-and only the *surviving* minimizers — a small fraction of the stream —
-are exchanged before process 0 runs the (cheap, irregular) graph/path/emit
-stages.
+sketches only its records, the uniqueness+intersection verdict rides a
+hash-bucket all-to-all (``distributed_survive_sharded`` — per-device live
+memory O(total / n_devices), never the replicated multiset), and only the
+*surviving* minimizers — a small fraction of the stream — are exchanged
+before process 0 runs the (cheap, irregular) graph/path/emit stages.
 
 Determinism: the verdict is a pure function of the gathered multiset and
 the surviving streams are restored to per-assembly stream order before
@@ -70,7 +70,8 @@ def distributed_assemble(cfg: DistributedConfig, sketch_fn=None) -> None:
 
     from ntjoin_tpu.io.fasta import read_fasta
     from ntjoin_tpu.parallel.distributed import (
-        distributed_survive,
+        bucket_width_for_rows,
+        distributed_survive_sharded,
         global_mesh,
         initialize,
     )
@@ -142,21 +143,30 @@ def distributed_assemble(cfg: DistributedConfig, sketch_fn=None) -> None:
         )
 
     alive = _pack_rows(np.ones(n_local, bool), False, n_local_dev, width)
-    survive_full = np.asarray(
-        distributed_survive(
-            mesh,
-            mk(_pack_rows(lo_l, np.uint32(0), n_local_dev, width)),
-            mk(_pack_rows(hi_l, np.uint32(0), n_local_dev, width)),
-            mk(_pack_rows(asm_l, np.int32(-1), n_local_dev, width)),
-            mk(alive),
-            n_asm,
-        )
+    hi_rows = _pack_rows(hi_l, np.uint32(0), n_local_dev, width)
+    # hash-sharded verdict (SURVEY hard-part 5): bucket capacity is the max
+    # per-(device, bucket) count across processes — exact, no overflow path
+    local_bw = bucket_width_for_rows(hi_rows, alive, n_dev)
+    bw = int(
+        np.asarray(
+            multihost_utils.process_allgather(np.array([local_bw], np.int32))
+        ).max()
     )
+    verdict_sharded = distributed_survive_sharded(
+        mesh,
+        mk(_pack_rows(lo_l, np.uint32(0), n_local_dev, width)),
+        mk(hi_rows),
+        mk(_pack_rows(asm_l, np.int32(-1), n_local_dev, width)),
+        mk(alive),
+        n_asm,
+        bucket_width=bw,
+    )
+    # the verdict stays sharded like the inputs: collect this process's rows
     row0 = cfg.process_id * n_local_dev
-    mine = (
-        survive_full.reshape(n_dev, width)[row0 : row0 + n_local_dev]
-        .reshape(-1)[:n_local]
-    )
+    mine_rows = np.zeros((n_local_dev, width), bool)
+    for shard in verdict_sharded.addressable_shards:
+        mine_rows[shard.index[0].start - row0] = np.asarray(shard.data)[0]
+    mine = mine_rows.reshape(-1)[:n_local]
 
     # ship each process's SURVIVING stream entries to every process (hash
     # sets, not counts): pad to the agreed width for the host-level gather

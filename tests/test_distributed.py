@@ -18,12 +18,20 @@ sys.path.insert(0, {repo!r})
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-from ntjoin_tpu.parallel.distributed import initialize, global_mesh, gather_counts
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from ntjoin_tpu.parallel.distributed import initialize, global_mesh
 pid = int(sys.argv[1])
 initialize({coord!r}, 2, pid, local_device_count=4)
 mesh = global_mesh()
 assert mesh.devices.size == 8, mesh.devices.size
-total = gather_counts(mesh, 10 + pid)
+# cross-process psum smoke: per-device values 10+pid summed over the mesh
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("shard")),
+    np.full(len(jax.local_devices()), 10 + pid, dtype=np.int32), (8,),
+)
+total = int(jax.jit(lambda x: x.sum())(arr))
 print("TOTAL", total, flush=True)
 """
 
@@ -149,3 +157,78 @@ print("API_DONE")
     assert res.returncode == 0, res.stderr
     assert "API_DONE" in res.stdout
     _assert_byte_equal(tmp_path, "api")
+
+
+def test_sharded_survive_matches_replicated():
+    """The hash-bucket all-to-all verdict is bit-equal to the replicated
+    all-gather oracle on the 8-device virtual mesh, and its per-device
+    live buffer is O(total / n_devices), not O(total)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ntjoin_tpu.parallel.distributed import (
+        bucket_width_for_rows,
+        distributed_survive,
+        distributed_survive_sharded,
+        global_mesh,
+    )
+
+    mesh = global_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+    rng = np.random.default_rng(3)
+    width = 512
+    n_el = n_dev * width
+    n_asm = 3
+    # hashes with plenty of collisions: duplicates within and across asms
+    lo = rng.integers(0, 700, n_el).astype(np.uint32)
+    hi = rng.integers(0, 1 << 32, n_el, dtype=np.uint64).astype(np.uint32)
+    # tie hi to lo so equal (lo, hi) pairs actually occur
+    hi = (hi % np.uint32(5)) + lo
+    asm = rng.integers(0, n_asm, n_el).astype(np.int32)
+    alive = rng.random(n_el) < 0.9
+
+    sharding = NamedSharding(mesh, P("shard", None))
+    arrs = [
+        jax.device_put(x.reshape(n_dev, width), sharding)
+        for x in (lo, hi, asm, alive)
+    ]
+    ref = np.asarray(distributed_survive(mesh, *arrs, n_asm=n_asm))
+
+    bw = bucket_width_for_rows(
+        hi.reshape(n_dev, width), alive.reshape(n_dev, width), n_dev
+    )
+    got = np.asarray(
+        distributed_survive_sharded(
+            mesh, *arrs, n_asm=n_asm, bucket_width=bw
+        )
+    ).reshape(-1)
+    assert (got == ref).all()
+
+    # memory shape: the sharded path's per-device buffer (n_dev * bw) must
+    # stay near total_alive / n_dev, far below the replicated n_dev * width
+    per_dev_buffer = n_dev * bw
+    assert per_dev_buffer < 2 * n_el // n_dev + 64
+    assert per_dev_buffer < n_el // 2
+
+    # determinism across mesh width: a 4-device mesh over the same stream
+    # gives the same verdict per entry
+    from ntjoin_tpu.parallel.mesh import make_mesh
+
+    mesh4 = make_mesh(4)
+    width4 = n_el // 4
+    sharding4 = NamedSharding(mesh4, P("shard", None))
+    arrs4 = [
+        jax.device_put(x.reshape(4, width4), sharding4)
+        for x in (lo, hi, asm, alive)
+    ]
+    bw4 = bucket_width_for_rows(
+        hi.reshape(4, width4), alive.reshape(4, width4), 4
+    )
+    got4 = np.asarray(
+        distributed_survive_sharded(
+            mesh4, *arrs4, n_asm=n_asm, bucket_width=bw4
+        )
+    ).reshape(-1)
+    assert (got4 == ref).all()
