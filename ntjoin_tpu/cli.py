@@ -245,12 +245,20 @@ def _ensure_sketch(
         if mesh is not None:
             from ntjoin_tpu.parallel.mesh import sketch_sharded
 
-            sketches = [sketch_sharded(r.codes, k, w, mesh) for r in records]
+            sketches = []
+            for r in records:
+                sketches.append(sketch_sharded(r.codes, k, w, mesh))
+                r._codes = None  # drop per-record code cache (Gbp-scale RSS)
         elif batched:
             # one device program for the whole assembly
             sketches = sketch_records_pallas([r.codes for r in records], k, w)
+            for r in records:
+                r._codes = None
         else:
-            sketches = [backend(rec.codes, k, w) for rec in records]
+            sketches = []
+            for rec in records:
+                sketches.append(backend(rec.codes, k, w))
+                rec._codes = None  # drop per-record code cache
         write_minimizer_tsv(tsv, records, sketches, k)
         if not os.path.exists(fasta + ".fai") or force:
             write_fai(fasta)

@@ -38,7 +38,7 @@ from ntjoin_tpu.emit.writers import (
 )
 from ntjoin_tpu.graph.mingraph import build_graph
 from ntjoin_tpu.graph.paths import find_paths
-from ntjoin_tpu.io.fasta import read_fasta_dict, reverse_complement
+from ntjoin_tpu.io.fasta import FastaStore, reverse_complement
 from ntjoin_tpu.ops.intervals import complement, self_intersect_counts, sort_beds
 
 # Load-bearing naming convention: the target FASTA path is derived from the
@@ -143,8 +143,12 @@ class Scaffolder:
                 "convention: target_assembly.fa.k<k>.w<w>.tsv"
             )
         self.assembly_fa, self.params = match.group(1), match.group(2)
-        self.scaffolds = read_fasta_dict(self.assembly_fa)
-        scaffold_lengths = {name: rec.length for name, rec in self.scaffolds.items()}
+        # mmap-backed random access: names/lengths/slices only, the target
+        # draft is never held as whole in-memory strings (3 Gbp-scale RSS)
+        self.scaffolds = FastaStore(self.assembly_fa)
+        scaffold_lengths = {
+            name: self.scaffolds.length(name) for name in self.scaffolds.names()
+        }
 
         self._log("Finding paths")
         graph_paths, n_components = find_paths(self.graph, self.shared, cfg.n)
@@ -208,7 +212,7 @@ class Scaffolder:
 
     def _segment_seq(self, node: PathNode) -> str:
         """Oriented region sequence plus its gap Ns (ref :326-332)."""
-        seq = self.scaffolds[node.contig].seq[node.start : node.end]
+        seq = self.scaffolds.subseq(node.contig, node.start, node.end)
         if node.ori == "-":
             seq = reverse_complement(seq)
         return seq + "N" * node.gap_size
@@ -223,19 +227,18 @@ class Scaffolder:
         return out
 
     @staticmethod
-    def _join_sequences(
-        sequences: list[str], path: list[PathNode], segments: list[Bed]
-    ) -> str:
-        """Join segments, terminal-N strip with coordinate fixups (ref :406-439)."""
-        stripped = sequences[0].lstrip("Nn")
-        if len(stripped) != len(sequences[0]):
-            diff = len(sequences[0]) - len(stripped)
-            sequences[0] = stripped
+    def _strip_leading(seq: str, path: list[PathNode], seg: Bed) -> str:
+        """Terminal-N strip of a scaffold's FIRST segment with the
+        coordinate fixup (first half of reference ``join_sequences``,
+        ``ntjoin_assemble.py:406-424``)."""
+        stripped = seq.lstrip("Nn")
+        if len(stripped) != len(seq):
+            diff = len(seq) - len(stripped)
             for node in path:
                 if (
-                    node.contig == segments[0].contig
-                    and node.start == segments[0].start
-                    and node.end == segments[0].end
+                    node.contig == seg.contig
+                    and node.start == seg.start
+                    and node.end == seg.end
                 ):
                     if node.ori == "+":
                         node.start += diff
@@ -243,15 +246,21 @@ class Scaffolder:
                         node.end -= diff
                     assert len(stripped) - node.gap_size == node.end - node.start
                     break
-        stripped = sequences[-1].rstrip("Nn")
-        if len(stripped) != len(sequences[-1]):
-            diff = len(sequences[-1]) - len(stripped)
-            sequences[-1] = stripped
+        return stripped
+
+    @staticmethod
+    def _strip_trailing(seq: str, path: list[PathNode], seg: Bed) -> str:
+        """Terminal-N strip of a scaffold's LAST segment with the
+        coordinate fixup (second half of reference ``join_sequences``,
+        ``ntjoin_assemble.py:425-439``)."""
+        stripped = seq.rstrip("Nn")
+        if len(stripped) != len(seq):
+            diff = len(seq) - len(stripped)
             for node in reversed(path):
                 if (
-                    node.contig == segments[-1].contig
-                    and node.start == segments[-1].start
-                    and node.end == segments[-1].end
+                    node.contig == seg.contig
+                    and node.start == seg.start
+                    and node.end == seg.end
                 ):
                     if node.ori == "+":
                         node.end -= diff
@@ -259,49 +268,51 @@ class Scaffolder:
                         node.start += diff
                     assert len(stripped) == node.end - node.start
                     break
-        return "".join(sequences)
+        return stripped
 
     # -- overlap trimming driver (ref :468-499, 530-578) -----------------
 
     def _trim_overlaps(self, paths: list[list[PathNode]]) -> None:
+        """Streamed: each node's masked segment string lives only long
+        enough to hit the ``segments.fa`` artifact and the overlap
+        re-sketch — a single whole-genome path must never hold two copies
+        of the assembly in memory (the ~3 Gbp north-star RSS bound)."""
         cfg = self.cfg
-        seg_file = None
         seg_path = cfg.prefix + ".segments.fa"
-        seg_file = open(seg_path, "w", encoding="utf-8")
         trim_jobs = []
-        for path in paths:
-            nodes = [n for n in path if n.ori != "?"]
-            sequences = [self._segment_seq(n) for n in nodes]
-            if len(sequences) < 2:
-                continue
-            coords = valid_mask_coords(nodes, cfg.overlap_k, cfg.overlap_w)
-            masked_seqs = []
-            for seq, node, (lo, hi) in zip(sequences, nodes, coords):
-                # Drop exactly the appended gap Ns.  The reference strips all
-                # terminal Ns instead (``seq.strip("Nn")``,
-                # ntjoin_assemble.py:571-573) and its length assert crashes
-                # whenever a region's own sequence starts/ends with N; this
-                # slice is byte-identical on every non-crashing input and
-                # keeps the cut-coordinate frame on the rest.
-                core = seq[: node.aligned_length]
-                masked = core[:lo] + "N" * (hi - lo) + core[hi:]
-                assert len(masked) == node.aligned_length
-                seg_file.write(
-                    f">{node.contig}_{node.start}_{node.end} { node.raw_gap_size}\n{masked}\n"
-                )
-                masked_seqs.append(masked)
-            trim_jobs.append((nodes, masked_seqs))
-        seg_file.close()
+        with open(seg_path, "w", encoding="utf-8") as seg_file:
+            for path in paths:
+                nodes = [n for n in path if n.ori != "?"]
+                if len(nodes) < 2:
+                    continue
+                coords = valid_mask_coords(nodes, cfg.overlap_k, cfg.overlap_w)
+                mxs: dict[int, list[int]] = {}
+                infos: dict[int, dict[int, int]] = {}
+                for ct, (node, (lo, hi)) in enumerate(zip(nodes, coords)):
+                    seq = self._segment_seq(node)
+                    # Drop exactly the appended gap Ns.  The reference
+                    # strips all terminal Ns instead (``seq.strip("Nn")``,
+                    # ntjoin_assemble.py:571-573) and its length assert
+                    # crashes whenever a region's own sequence starts/ends
+                    # with N; this slice is byte-identical on every
+                    # non-crashing input and keeps the cut-coordinate frame
+                    # on the rest.
+                    core = seq[: node.aligned_length]
+                    masked = core[:lo] + "N" * (hi - lo) + core[hi:]
+                    assert len(masked) == node.aligned_length
+                    seg_file.write(
+                        f">{node.contig}_{node.start}_{node.end} { node.raw_gap_size}\n{masked}\n"
+                    )
+                    order, info = sketch_segment(
+                        masked, ct, nodes, cfg.overlap_k, cfg.overlap_w
+                    )
+                    mxs[ct] = order
+                    infos[ct] = info
+                trim_jobs.append((nodes, mxs, infos))
 
-        for nodes, masked_seqs in trim_jobs:
-            mxs: dict[int, list[int]] = {}
-            infos: dict[int, dict[int, int]] = {}
-            for ct, seq in enumerate(masked_seqs):
-                order, info = sketch_segment(
-                    seq, ct, nodes, cfg.overlap_k, cfg.overlap_w
-                )
-                mxs[ct] = order
-                infos[ct] = info
+        # cut-point assignment runs after every segment is sketched, like
+        # the reference's whole-file Indexlr pass (ntjoin_assemble.py:468+)
+        for nodes, mxs, infos in trim_jobs:
             trim_overlapping_path(nodes, mxs, infos)
 
         if not cfg.keep_segments_fa and os.path.exists(seg_path):
@@ -330,18 +341,31 @@ class Scaffolder:
             pathfile.write(self.assembly_fa + "\n")
             for path in paths:
                 nodes = [n for n in path if n.ori != "?"]
-                sequences = [self._segment_seq(n) for n in nodes]
                 segments = [n.bed() for n in nodes]
-                if len(sequences) < 2:
+                if len(nodes) < 2:
                     continue
-                if cfg.overlap:
-                    sequences = [
-                        self._adjusted_seq(seq, nodes[i])
-                        for i, seq in enumerate(sequences)
-                    ]
+
+                def node_seq(node):
+                    seq = self._segment_seq(node)
+                    if cfg.overlap:
+                        seq = self._adjusted_seq(seq, node)
+                    return seq
+
                 ctg_id = f"ntJoin{ct}"
-                ctg_sequence = self._join_sequences(sequences, path, segments)
-                outfile.write(f">{ctg_id}\n{ctg_sequence}\n")
+                # streamed join: one segment string alive at a time (a
+                # whole-genome path would otherwise hold 3x the assembly);
+                # terminal-N strips + coordinate fixups apply to the first
+                # and last segments only (ref join_sequences :406-439)
+                outfile.write(f">{ctg_id}\n")
+                outfile.write(
+                    self._strip_leading(node_seq(nodes[0]), path, segments[0])
+                )
+                for node in nodes[1:-1]:
+                    outfile.write(node_seq(node))
+                outfile.write(
+                    self._strip_trailing(node_seq(nodes[-1]), path, segments[-1])
+                )
+                outfile.write("\n")
                 incorporated_list.extend(segments)
                 path_str = " ".join(
                     f"{n.contig}{n.ori}:{n.adjusted_start()}-"
@@ -361,7 +385,9 @@ class Scaffolder:
 
     def _emit_unassigned(self, incorporated_list: list[Bed], agp_file) -> None:
         cfg = self.cfg
-        genome = [(name, rec.length) for name, rec in self.scaffolds.items()]
+        genome = [
+            (name, self.scaffolds.length(name)) for name in self.scaffolds.names()
+        ]
         missing = complement(incorporated_list, genome)
         write_bed(cfg.prefix + "." + cfg.target + ".unassigned.bed", missing)
         out_path = (
@@ -370,7 +396,7 @@ class Scaffolder:
         with open(out_path, "w", encoding="utf-8") as out:
             for bed in missing:
                 header = f"{bed.contig}:{bed.start}-{bed.end}"
-                seq = self.scaffolds[bed.contig].seq[bed.start : bed.end]
+                seq = self.scaffolds.subseq(bed.contig, bed.start, bed.end)
                 if agp_file:
                     write_agp_unassigned(agp_file, header, seq)
                 seq = seq.strip().strip("Nn")

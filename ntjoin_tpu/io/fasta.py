@@ -13,6 +13,7 @@ fallback and the behavioural reference.
 from __future__ import annotations
 
 import gzip
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -86,6 +87,75 @@ def read_fasta_dict(path: str) -> dict[str, FastaRecord]:
     for rec in read_fasta(path):
         out[rec.id] = rec
     return out
+
+
+class FastaStore:
+    """Random-access facade over a FASTA file for the scaffolder.
+
+    The emission stages only ever need contig names, lengths, and
+    subsequence slices — never every sequence at once.  For plain FASTA
+    this is an mmap over the file driven by the ``.fai`` index (built on
+    demand), so a 3 Gbp draft costs pages touched, not 3 GB of Python
+    strings (the round-3 1 Gbp run peaked at 6.7 GB RSS holding whole
+    assemblies in memory; the ~3 Gbp human-scale north star must stay
+    under 16 GB).  Gzipped inputs fall back to in-memory records.
+    """
+
+    def __init__(self, path: str):
+        self._mm = None
+        self._records: dict[str, FastaRecord] | None = None
+        self._fai: dict[str, tuple[int, int, int, int]] = {}
+        self._order: list[str] = []
+        if path.endswith(".gz"):
+            self._records = read_fasta_dict(path)
+            self._order = list(self._records)
+            return
+        import mmap
+
+        fai = path + ".fai"
+        if not os.path.exists(fai) or (
+            os.path.getmtime(fai) < os.path.getmtime(path)
+        ):
+            write_fai(path, fai)
+        with open(fai, "r", encoding="utf-8") as fh:
+            for line in fh:
+                name, length, offset, linebases, linewidth = line.split("\t")
+                self._order.append(name)
+                self._fai[name] = (
+                    int(length), int(offset), int(linebases), int(linewidth)
+                )
+        self._fh = open(path, "rb")
+        self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+
+    def names(self) -> list[str]:
+        return list(self._order)
+
+    def __contains__(self, name: str) -> bool:
+        return name in (self._fai or self._records)
+
+    def length(self, name: str) -> int:
+        if self._records is not None:
+            return self._records[name].length
+        return self._fai[name][0]
+
+    def subseq(self, name: str, start: int, end: int) -> str:
+        """Bases [start, end) of a contig (0-based, half-open)."""
+        if self._records is not None:
+            return self._records[name].seq[start:end]
+        length, offset, lb, lw = self._fai[name]
+        start = max(0, min(start, length))
+        end = max(start, min(end, length))
+        if end == start:
+            return ""
+        b0 = offset + (start // lb) * lw + start % lb
+        b1 = offset + ((end - 1) // lb) * lw + (end - 1) % lb + 1
+        return self._mm[b0:b1].translate(None, b"\r\n").decode()
+
+    def close(self) -> None:
+        if self._mm is not None:
+            self._mm.close()
+            self._fh.close()
+            self._mm = None
 
 
 def write_fai(path: str, out_path: str | None = None) -> str:

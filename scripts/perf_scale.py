@@ -101,7 +101,27 @@ def main() -> int:
     workdir = args.keep or tempfile.mkdtemp(prefix="ntjoin_scale_")
     os.makedirs(workdir, exist_ok=True)
     t0 = time.perf_counter()
-    ref_fas, tgt_fa = make_inputs(workdir, args.mbp, n_refs=args.refs)
+    # generate inputs in a CHILD process: at Gbp scale the generator holds
+    # several GB transiently, which would otherwise pollute this process's
+    # ru_maxrss — the number we report for the assemble run itself
+    import subprocess
+
+    gen = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, {!r}); "
+         "from perf_scale import make_inputs; "
+         "make_inputs({!r}, {}, n_refs={})".format(
+             os.path.dirname(os.path.abspath(__file__)),
+             workdir, args.mbp, args.refs,
+         )],
+    )
+    if gen.returncode != 0:
+        return 1
+    ref_fas = [
+        os.path.join(workdir, f"ref{r if r else ''}.fa")
+        for r in range(args.refs)
+    ]
+    tgt_fa = os.path.join(workdir, "target.fa")
     print(f"[inputs] {args.mbp} Mbp generated in {time.perf_counter()-t0:.1f}s")
 
     from ntjoin_tpu import cli
@@ -141,11 +161,29 @@ def main() -> int:
         )
     except Exception:
         pass
+    # stage breakdown from the time=True artifacts (wall + peak RSS at the
+    # end of each stage — the BENCH detail for the human-scale north star)
+    import glob
     import json
+
+    stages = {}
+    for tf in glob.glob("out.*.time"):
+        try:
+            kv = dict(
+                line.split("\t")
+                for line in open(tf, encoding="utf-8").read().splitlines()
+            )
+            stages[kv["stage"]] = {
+                "wall_s": round(float(kv["wall_s"]), 1),
+                "rss_gb": round(int(kv["peak_rss_kb"]) / 1e6, 2),
+            }
+        except (OSError, KeyError, ValueError):
+            pass
 
     print(json.dumps({
         "mbp": args.mbp, "refs": args.refs, "backend": args.backend,
         "e2e_s": round(e2e_s, 1), "rss_gb": rss_gb, "rc": rc,
+        "stages": stages,
     }))
     if not args.keep:
         shutil.rmtree(workdir, ignore_errors=True)

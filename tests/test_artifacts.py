@@ -76,3 +76,48 @@ def test_overlap_agp_self_golden(tmp_path):
         if os.environ.get("REGEN") == "1" or not os.path.exists(golden_path):
             shutil.copy(tmp_path / name, golden_path)
         assert (tmp_path / name).read_bytes() == open(golden_path, "rb").read(), name
+
+
+def test_fasta_store_subseq(tmp_path):
+    """mmap-backed FastaStore slices match in-memory records, across line
+    widths, boundaries, and the gz fallback."""
+    from ntjoin_tpu.io.fasta import FastaStore, read_fasta_dict
+
+    import gzip
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    seqs = {
+        "a": "".join("ACGT"[i] for i in rng.integers(0, 4, 257)),
+        "b": "".join("ACGTN"[i] for i in rng.integers(0, 5, 80)),
+        "c": "A",
+    }
+    fa = tmp_path / "s.fa"
+    with open(fa, "w") as fh:
+        for name, seq in seqs.items():
+            fh.write(f">{name} extra comment\n")
+            for i in range(0, len(seq), 60):
+                fh.write(seq[i : i + 60] + "\n")
+    store = FastaStore(str(fa))
+    assert store.names() == ["a", "b", "c"]
+    for name, seq in seqs.items():
+        assert store.length(name) == len(seq)
+        assert store.subseq(name, 0, len(seq)) == seq
+        assert store.subseq(name, 0, 0) == ""
+        for s, e in [(0, 1), (59, 61), (60, 120), (3, len(seq)),
+                     (len(seq) - 1, len(seq)), (0, 10**9)]:
+            e_c = min(e, len(seq))
+            s_c = min(s, len(seq))
+            assert store.subseq(name, s, e) == seq[s_c:e_c], (name, s, e)
+    store.close()
+
+    gz = tmp_path / "s.fa.gz"
+    with open(fa, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    gstore = FastaStore(str(gz))
+    assert gstore.names() == ["a", "b", "c"]
+    for name, seq in seqs.items():
+        assert gstore.subseq(name, 2, 40) == seq[2:40]
+    # sanity: both agree with the eager reader
+    recs = read_fasta_dict(str(fa))
+    assert {n: r.seq for n, r in recs.items()} == seqs

@@ -357,3 +357,41 @@ def test_expand_runs_strided():
     runs1 = np.array([1, 1, 0], dtype=np.int32)
     p1, l1, h1 = _expand_runs(pos, lo, hi, runs1)
     assert p1 is pos and l1 is lo and h1 is hi
+
+
+def test_int32_guard_routes_giant_record_to_host(monkeypatch):
+    """Single records at/past the int32 device-position cap must route to
+    the host sketcher without touching the device (the >= ~2.1 Gbp guard)."""
+    import ntjoin_tpu.ops.sketch_pallas as sp
+
+    called = {}
+
+    def fake_host(codes, k, w):
+        called["n"] = codes.shape[0]
+        return "HOST_SENTINEL"
+
+    monkeypatch.setattr(sp, "_host_sketch", fake_host)
+    n = (1 << 31) - (1 << 20)  # exactly the guard threshold
+    codes = np.zeros(n, dtype=np.int8)  # untouched pages: cheap despite 2 GB
+    out = sp.sketch_codes_pallas(codes, 32, 1000)
+    assert out == "HOST_SENTINEL" and called["n"] == n
+
+
+def test_multi_record_batch_split_parity(monkeypatch):
+    """A small NTJOIN_TPU_BATCH_BASES forces the whole-assembly path to
+    split records across several device batches; outputs must equal the
+    single-batch result."""
+    import ntjoin_tpu.ops.sketch_pallas as sp
+
+    rng = np.random.default_rng(60)
+    records = [
+        rng.integers(0, 4, size=ln).astype(np.uint8)
+        for ln in [9000, 8000, 7000, 6000]
+    ]
+    monkeypatch.setenv("NTJOIN_TPU_BATCH_BASES", "16000")  # ~2 records/batch
+    got = sp.sketch_records_pallas(records, 15, 10, interpret=True)
+    monkeypatch.delenv("NTJOIN_TPU_BATCH_BASES")
+    for codes, sk in zip(records, got):
+        ref = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == ref.positions.tolist()
+        assert sk.hashes.tolist() == ref.hashes.tolist()
