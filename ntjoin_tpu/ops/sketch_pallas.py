@@ -467,6 +467,18 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     scal_ref: SMEM (2,) i32 = [L (stream rows per chunk), n_windows].
     With ``has_flags`` an extra per-window input carries bit0 = window
     valid, bit1 = force-emit (record starts in the multi paths).
+
+    Layout: inputs are 2-D (rows, CHUNKS) with column j = chunk j (the
+    free reshape of the hash kernel's (rows, SUB, LANE) output — NO
+    transpose); grid axis 0 walks 128-column groups via the BlockSpec, so
+    ``chunk = g * LANE + lane`` exactly as before.
+
+    The emission phase is two-tier ON THE RAW COUNT: blocks whose raw
+    per-lane emission count fits ``_FAST_SLOTS`` (the overwhelmingly
+    common case — ~2 emissions per w windows) skip the run-compression
+    machinery entirely (no propagate scan, no slide tests) and assemble
+    uncompressed; only repeat-dense blocks pay for compression + the full
+    ``_NSLOT`` assembly.
     """
     if has_flags:
         (lo_ref, hi_ref, flg_ref, oix_ref, olo_ref, ohi_ref, orun_ref,
@@ -494,7 +506,7 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
         pcar[...] = jnp.full(pcar.shape, -1, _I32)
 
     def tile(ref, t):
-        return ref[0, pl.ds(t * tr, tr), :]
+        return ref[pl.ds(t * tr, tr), :]
 
     def tile_scan(vals, shift, comb):
         # ``comb`` prefers the operand covering the earlier rows on value
@@ -542,7 +554,7 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     valid = (win_row < L) & (chunk_w * L + win_row < nwin)
     first = win_row == 0
     if has_flags:
-        f = flg_ref[0]
+        f = flg_ref[...]
         valid &= (f & 1) == 1
         first |= (f & 2) != 0
     rix = r_ix[pl.ds(0, w), :]
@@ -551,114 +563,126 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     prev_ix = jnp.concatenate([pcar[0:1, :], rix[: w - 1]], axis=0)
     emiti = (valid & (first | (rix != prev_ix))).astype(_I32)
     zf = jnp.zeros((w, _LANE), _I32)
-    # run continuation ("slide"): argmin advanced by the SAME stride as the
-    # previous emission with the min value unchanged.  Between emissions the
-    # window argmin — and therefore the window-min VALUE — is constant, so
-    # the previous ROW already carries the last emission's position (its
-    # stride is d = rix - prev_ix) and hash (prev_lo/prev_hi); only the
-    # PREVIOUS emission's own stride needs history, supplied by one packed
-    # propagate scan (last nonzero (d<<1|1) word over earlier rows).  The
-    # stride test, not just +1, is what compresses PERIODIC repeats: a
-    # period-p microsatellite with distinct phase hashes emits every p-th
-    # window with argmin stride p (non-consecutive emissions — the phases
-    # are distinct k-mers, but the winning phase's hash is constant), so a
-    # run costs 2 fresh entries (the entering jump + the stride-defining
-    # step) and slides for the rest.  The first in-block emission has no
-    # in-block predecessor (the scan starts empty), so runs never span
-    # blocks — a seam just opens a new run entry, which expands to the same
-    # stream.  Mask algebra stays in i32 — Mosaic cannot relayout i1 vregs
-    # ("Invalid vector register cast" on bool concatenate).
-    if runs_on:
-        prev_lo = jnp.concatenate([rlo[:1], rlo[: w - 1]], axis=0)
-        prev_hi = jnp.concatenate([rhi[:1], rhi[: w - 1]], axis=0)
-        d = rix - prev_ix
-        # propagate the last emission's packed stride word down the rows
-        # (d <= w < 2^15 for real strides; the block-leading emission's
-        # d can be a huge entering jump, still < 2^30 so the pack is safe
-        # and — being compared against real strides <= w — inert)
-        pv = (((d << 1) | 1)) * emiti
-        s = 1
-        while s < w:
-            pv = jnp.where(pv != 0, pv, _shift_down(pv, s, zf))
-            s *= 2
-        prev_pv = _shift_down(pv, 1, zf)  # last emission strictly above
-        slide_i = (
-            emiti
-            * (prev_pv & 1)
-            * (1 - first.astype(_I32))
-            * (d == (prev_pv >> 1)).astype(_I32)
-            * (rlo == prev_lo).astype(_I32)
-            * (rhi == prev_hi).astype(_I32)
-        )
-        fresh = emiti - slide_i
-    else:
-        # stream-compacted callers: rank+1 is NOT genomic position+1, so
-        # runs cannot expand arithmetically — emit uncompressed
-        fresh = emiti
-    # inclusive scan of fresh over the block's rows (log2 w shifted adds)
-    ecum = fresh
+
+    # inclusive scan of RAW emissions (log2 w shifted adds): slot positions
+    # for the fast tier + the branch condition for the dense tier
+    rcum = emiti
     s = 1
     while s < w:
-        ecum = ecum + _shift_down(ecum, s, zf)
+        rcum = rcum + _shift_down(rcum, s, zf)
         s *= 2
-    slot = ecum - 1
-    cnt = ecum[w - 1 : w]
+    cnt_raw = rcum[w - 1 : w]
+    mc_raw = jnp.max(cnt_raw)
 
-    def assemble(ns):
-        # each live slot costs ~5 full-block reductions; typical blocks
+    def assemble(fresh, slot, cnt, ns, slide_d=None):
+        # each live slot costs ~4 full-block reductions; typical blocks
         # emit ~2/lane, so the dense tail runs only when a lane actually
         # filled past the fast bound.  Mosaic has no unsigned reductions:
         # hash words ride as bitcast i32 and select-by-SUM (at most one
-        # fresh row matches a slot, fill 0 -> the sum IS the value).
+        # fresh row matches a slot, fill 0 -> the sum IS the value; the
+        # index rides +1 so the empty-slot sum 0 decodes to the -1 pad).
         out_ix_rows, out_lo_rows, out_hi_rows, out_run_rows = [], [], [], []
+        fr = fresh == 1
         for c in range(ns):
             selc = slot == c
-            sel = (fresh == 1) & selc
-            hit = jnp.sum(sel.astype(_I32), axis=0, keepdims=True) > 0
-            vix = jnp.sum(jnp.where(sel, rix, 0), axis=0, keepdims=True)
-            out_ix_rows.append(jnp.where(hit, vix, -1))
+            sel = fr & selc
+            vix = jnp.sum(jnp.where(sel, rix + 1, 0), axis=0, keepdims=True) - 1
+            out_ix_rows.append(vix)
             out_lo_rows.append(
                 jnp.sum(jnp.where(sel, rlo, 0), axis=0, keepdims=True)
             )
             out_hi_rows.append(
                 jnp.sum(jnp.where(sel, rhi, 0), axis=0, keepdims=True)
             )
-            runc = jnp.sum(jnp.where(selc, emiti, 0), axis=0, keepdims=True)
-            if runs_on:
+            if slide_d is None:
+                # uncompressed tier: every live slot is a count-1 run
+                out_run_rows.append(jnp.where(vix >= 0, 1, 0))
+            else:
+                slide_i, d = slide_d
+                runc = jnp.sum(jnp.where(selc, emiti, 0), axis=0, keepdims=True)
                 # all slides of a run share one stride (the slide test
                 # enforces d == prev_d along the chain): max extracts it
                 strd = jnp.max(
                     jnp.where((slide_i == 1) & selc, d, 0),
                     axis=0, keepdims=True,
                 )
-                runc = runc | (strd << 16)  # packed (count, stride)
-            out_run_rows.append(runc)  # fresh entry + its slides
+                out_run_rows.append(runc | (strd << 16))  # packed
         pad = _NSLOT - ns
         if pad:
             out_ix_rows.append(jnp.full((pad, _LANE), -1, _I32))
             out_lo_rows.append(jnp.zeros((pad, _LANE), _I32))
             out_hi_rows.append(jnp.zeros((pad, _LANE), _I32))
             out_run_rows.append(jnp.zeros((pad, _LANE), _I32))
-        oix_ref[0, 0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
-        olo_ref[0, 0] = jnp.concatenate(
+        oix_ref[0] = jnp.concatenate(out_ix_rows + [cnt], axis=0)
+        olo_ref[0] = jnp.concatenate(
             out_lo_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
         )
-        ohi_ref[0, 0] = jnp.concatenate(
+        ohi_ref[0] = jnp.concatenate(
             out_hi_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
         )
-        orun_ref[0, 0] = jnp.concatenate(
+        orun_ref[0] = jnp.concatenate(
             out_run_rows + [jnp.zeros((1, _LANE), _I32)], axis=0
         )
 
-    mc = jnp.max(cnt)
-
-    @pl.when(mc <= _FAST_SLOTS)
+    # fast tier (the common case): raw emissions fit the fast slots, so no
+    # compression is needed at all — uncompressed slots expand identically
+    @pl.when(mc_raw <= _FAST_SLOTS)
     def _fast():
-        assemble(_FAST_SLOTS)
+        assemble(emiti, rcum - 1, cnt_raw, _FAST_SLOTS)
 
-    @pl.when(mc > _FAST_SLOTS)
+    # dense tier: repeat-dense blocks.  Run continuation ("slide"): argmin
+    # advanced by the SAME stride as the previous emission with the min
+    # value unchanged.  Between emissions the window argmin — and therefore
+    # the window-min VALUE — is constant, so the previous ROW already
+    # carries the last emission's position (its stride is
+    # d = rix - prev_ix) and hash (prev_lo/prev_hi); only the PREVIOUS
+    # emission's own stride needs history, supplied by one packed
+    # last-nonzero propagate scan of (d<<1 | 1) words.  The stride test,
+    # not just +1, is what compresses PERIODIC repeats: a period-p
+    # microsatellite with distinct phase hashes emits every p-th window
+    # with argmin stride p (non-consecutive emissions — the phases are
+    # distinct k-mers, but the winning phase's hash is constant), so a run
+    # costs 2 fresh entries (the entering jump + the stride-defining step)
+    # and slides for the rest.  The first in-block emission has no
+    # in-block predecessor (the scan starts empty), so runs never span
+    # blocks — a seam just opens a new run entry, which expands to the
+    # same stream.  Mask algebra stays in i32 — Mosaic cannot relayout i1
+    # vregs ("Invalid vector register cast" on bool concatenate).
+    @pl.when(mc_raw > _FAST_SLOTS)
     def _dense():
-        assemble(_NSLOT)
+        if runs_on:
+            prev_lo = jnp.concatenate([rlo[:1], rlo[: w - 1]], axis=0)
+            prev_hi = jnp.concatenate([rhi[:1], rhi[: w - 1]], axis=0)
+            d = rix - prev_ix
+            # propagate the last emission's packed stride word down the
+            # rows (d <= w < 2^15 for real strides; a block-leading
+            # emission's d can be a huge entering jump, still < 2^30 so
+            # the pack is safe and — compared against strides <= w — inert)
+            pv = ((d << 1) | 1) * emiti
+            s = 1
+            while s < w:
+                pv = jnp.where(pv != 0, pv, _shift_down(pv, s, zf))
+                s *= 2
+            prev_pv = _shift_down(pv, 1, zf)  # last emission strictly above
+            slide_i = (
+                emiti
+                * (prev_pv & 1)
+                * (1 - first.astype(_I32))
+                * (d == (prev_pv >> 1)).astype(_I32)
+                * (rlo == prev_lo).astype(_I32)
+                * (rhi == prev_hi).astype(_I32)
+            )
+            fresh = emiti - slide_i
+            ecum = fresh
+            s = 1
+            while s < w:
+                ecum = ecum + _shift_down(ecum, s, zf)
+                s *= 2
+            assemble(fresh, ecum - 1, ecum[w - 1 : w], _NSLOT, (slide_i, d))
+        else:
+            # stream-compacted callers: rank+1 is NOT genomic position+1,
+            # so runs cannot expand arithmetically — emit uncompressed
+            assemble(emiti, rcum - 1, cnt_raw, _NSLOT)
 
     pcar[...] = rix[w - 1 : w]
 
@@ -683,16 +707,18 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
                          interpret: bool = False):
     """Slot-compacted per-window emissions, per lane (kernel v3).
 
-    Inputs (GROUPS, rows, LANE) group-major, rows a multiple of w with one
-    final all-max block; ``scal`` = i32[2] (L, n_windows).  ``flags`` (same
-    shape, indexed by window row) carries bit0 = window-valid / bit1 =
-    force-emit when given.  Returns (ix, lo, hi, run) of shape
-    (GROUPS, nb-1, _SLOTS, LANE): rows 0.._NSLOT-1 = emitted window argmin
-    stream index / winning hash words / equal-hash run length, in window
-    order, -1/0 padded; row _NSLOT of ix = the raw per-lane fresh-emission
-    count for overflow detection.
+    Inputs (rows, NL) 2-D with column j = chunk j (the FREE reshape of the
+    hash stage's (rows, SUB, LANE) output — no transpose copy); rows a
+    multiple of w with one final flush block; ``scal`` = i32[2]
+    (L, n_windows).  ``flags`` ((rows - w, NL), indexed by window row)
+    carries bit0 = window-valid / bit1 = force-emit when given.  Returns
+    (ix, lo, hi, run) of shape (nb-1, _SLOTS, NL): rows 0.._NSLOT-1 =
+    emitted window argmin stream index / winning hash words / equal-hash
+    run word, in window order, -1/0 padded; row _NSLOT of ix = the raw
+    per-lane emission count for overflow detection.
     """
-    groups, rows, _ = lo.shape
+    rows, nl = lo.shape
+    groups = nl // _LANE
     nb = rows // w
     tr = _pick_tr(w)
     if tr == 0:
@@ -702,23 +728,23 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
     # int64 view and corrupt the expansion), hence the 2^15 gate
     runs = runs and w < (1 << 15)
     in_spec = pl.BlockSpec(
-        (1, w, _LANE), lambda g, b: (g, b, 0), memory_space=pltpu.VMEM
+        (w, _LANE), lambda g, b: (b, g), memory_space=pltpu.VMEM
     )
     flg_spec = pl.BlockSpec(
-        (1, w, _LANE),
-        lambda g, b: (g, jnp.maximum(b, 1) - 1, 0),
+        (w, _LANE),
+        lambda g, b: (jnp.maximum(b, 1) - 1, g),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, 1, _SLOTS, _LANE),
-        lambda g, b: (g, jnp.maximum(b, 1) - 1, 0, 0),
+        (1, _SLOTS, _LANE),
+        lambda g, b: (jnp.maximum(b, 1) - 1, 0, g),
         memory_space=pltpu.VMEM,
     )
     scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     has_flags = flags is not None
     in_specs = [scal_spec, in_spec, in_spec] + ([flg_spec] if has_flags else [])
     args = (scal, lo, hi) + ((flags,) if has_flags else ())
-    out_sh = (groups, nb - 1, _SLOTS, _LANE)
+    out_sh = (nb - 1, _SLOTS, nl)
     return pl.pallas_call(
         functools.partial(_window_emit_kernel, w, tr, has_flags, runs),
         grid=(groups, nb),
@@ -749,7 +775,7 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
 def _compact_slots(oix, olo, ohi, orun, cap: int):
     """Global-order compaction of the slotted kernel outputs.
 
-    (GROUPS, nbm1, _SLOTS, LANE) -> cap-bounded (pos, lo, hi) in ascending
+    (nbm1, _SLOTS, NL) -> cap-bounded (pos, lo, hi) in ascending
     stream order plus (count, slots_ok).
 
     Gather-free rank decode (dependent gather rounds cost ~17 ms each on a
@@ -761,9 +787,8 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     probes.  Only two gather rounds remain: the (lane, j) -> source-index
     table lookup and the payload fetch.
     """
-    groups, nbm1, _, lanes = oix.shape
-    nl = groups * lanes
-    counts_raw = oix[:, :, _NSLOT, :]  # (g, nbm1, lanes) raw emit counts
+    nbm1, _, nl = oix.shape
+    counts_raw = oix[:, _NSLOT, :]  # (nbm1, nl) raw emit counts
     total = jnp.sum(counts_raw)
     # per-lane padded capacity: j indexes each lane's emissions in order.
     # Worst legit density is ~4 emissions per w windows (vs ~2 typical);
@@ -771,8 +796,8 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     # exact full-array path, same contract as slot overflow.
     cap_pl = min(nbm1 * _NSLOT, max(4 * nbm1, 64))
     cap_pl = _ceil_to(cap_pl, 8)
-    c = jnp.minimum(counts_raw, _NSLOT)  # (g, nbm1, lanes) written slots
-    cb = c.transpose(0, 2, 1).reshape(nl, nbm1)  # lane-major (nl, blocks)
+    c = jnp.minimum(counts_raw, _NSLOT)  # (nbm1, nl) written slots
+    cb = c.T  # lane-major (nl, blocks); lane == chunk in the 2-D layout
     bcum = jnp.cumsum(cb, axis=1)  # inclusive per-lane block cumsum
     per_lane = bcum[:, -1]  # (nl,)
     lane_cum = jnp.cumsum(per_lane)  # (nl,) inclusive
@@ -789,14 +814,11 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     base = jnp.sum(jnp.where(le, cb[:, :, None], 0), axis=1)
     blk_c = jnp.minimum(blk, nbm1 - 1)
     slot = jnp.clip(j - base, 0, _NSLOT - 1)
-    g_of = jax.lax.optimization_barrier(
-        jax.lax.broadcasted_iota(_I32, (nl, 1), 0)
-    ) // lanes
     li_of = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (nl, 1), 0)
-    ) % lanes
-    # flat index into the kernel's (g, nbm1, _SLOTS, lanes) layout
-    src_tab = ((g_of * nbm1 + blk_c) * _SLOTS + slot) * lanes + li_of
+    )
+    # flat index into the kernel's (nbm1, _SLOTS, nl) layout
+    src_tab = (blk_c * _SLOTS + slot) * nl + li_of
 
     # rank -> (lane, j): lane by broadcast compare over the lane cumsum,
     # j = rank - #emissions of earlier lanes (also a fused reduction)
@@ -1132,12 +1154,14 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
             first_w = win_valid & ~prev_valid
             flags = (
                 win_valid.astype(_I32) | (first_w.astype(_I32) << 1)
-            ).transpose(1, 0, 2)
+            ).reshape(rows_out, _CHUNKS)
 
         h_lo = jnp.pad(h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
         h_hi = jnp.pad(h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
-        gm_lo = h_lo.transpose(1, 0, 2)  # (SUB groups, rows, LANE)
-        gm_hi = h_hi.transpose(1, 0, 2)
+        # FREE reshape: (rows, SUB, LANE) column j = chunk j — the window
+        # kernel's column BlockSpec replaces the old 1 GB-class transpose
+        gm_lo = h_lo.reshape(rows_p, _CHUNKS)
+        gm_hi = h_hi.reshape(rows_p, _CHUNKS)
         scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
         oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
             gm_lo, gm_hi, scal, w, flags=flags, interpret=interpret
@@ -1413,9 +1437,7 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
             halo = jnp.concatenate(
                 [halo, jnp.full((hw - take, _CHUNKS), _MAXU, _U32)], axis=0
             )
-        return jnp.concatenate([own, halo], axis=0).reshape(
-            rows_p2, _SUB, _LANE
-        )
+        return jnp.concatenate([own, halo], axis=0)  # (rows_p2, CHUNKS)
 
     s_lo = _stream(h_lo)
     s_hi = _stream(h_hi)
@@ -1443,15 +1465,13 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
             base_b = jax.lax.slice_in_dim(bcum, 0, rows_out2)
             wvalid = (upper_b - base_b) == 0
             wfirst = jax.lax.slice_in_dim(bflag, 0, rows_out2) == 1
-            flags = (
-                wvalid.astype(_I32) | (wfirst.astype(_I32) << 1)
-            ).reshape(rows_out2, _SUB, _LANE).transpose(1, 0, 2)
+            flags = wvalid.astype(_I32) | (wfirst.astype(_I32) << 1)
         scal = jnp.stack(
             [jnp.asarray(L2, _I32), (stream_count - w + 1).astype(_I32)]
         )
         oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
-            s_lo.transpose(1, 0, 2), s_hi.transpose(1, 0, 2), scal, w,
-            flags=flags, runs=False, interpret=interpret,
+            s_lo, s_hi, scal, w, flags=flags, runs=False,
+            interpret=interpret,
         )
         out_rank, out_lo, out_hi, _run1, count, slots_ok = _compact_slots(
             oix, olo, ohi, orun, cap
@@ -1465,8 +1485,8 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
         )
 
     w_ix = _window_chunked.__wrapped__(
-        s_lo.transpose(1, 0, 2),
-        s_hi.transpose(1, 0, 2),
+        s_lo.reshape(rows_p2, _SUB, _LANE).transpose(1, 0, 2),
+        s_hi.reshape(rows_p2, _SUB, _LANE).transpose(1, 0, 2),
         jnp.full((1,), L2, _I32),
         w,
         interpret=interpret,
@@ -1596,9 +1616,7 @@ def sketch_codes_pallas(
         for i, (s, e) in enumerate(runs):
             starts[i] = s
             ends[i] = e
-        dev = _prep_codes(
-            jnp.asarray(pb), jnp.asarray(starts), jnp.asarray(ends)
-        )
+        dev = _prep_codes(pb, starts, ends)  # jit transfers its own args
     else:  # pathological run count: ship plain int8
         buf = np.full(buflen, CODE_INVALID, dtype=np.int8)
         buf[:n] = codes
@@ -1792,7 +1810,8 @@ def _start_batch(batch: list[np.ndarray], k: int, w: int, use_fast: bool,
     Everything here is asynchronous — device_put and the jitted call queue
     on the device stream, so the NEXT batch's host packing and upload
     overlap this batch's compute.  Returns an opaque state consumed by
-    ``_finish_batch``; ``None`` means the batch must take the host path.
+    ``_resolve_batch``/``_post_batch``; ``None`` means the batch must take
+    the host path.
     """
     import time
 
@@ -1851,10 +1870,12 @@ def _start_batch(batch: list[np.ndarray], k: int, w: int, use_fast: bool,
     _stage("pack", t0)
     t0 = time.monotonic()
     try:
-        dev = _prep_codes(
-            jnp.asarray(pb), jnp.asarray(starts), jnp.asarray(ends)
-        )
-        offs_dev = jnp.asarray(offsets_p)
+        # numpy args go straight into the jitted calls: the jit performs
+        # the host->device transfers itself, so each batch costs exactly
+        # two python dispatches (prep + fused) — every extra eager
+        # device_put used to add a tunnel round-trip per call
+        dev = _prep_codes(pb, starts, ends)
+        offs_dev = None if use_fast else jnp.asarray(offsets_p)
         cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
         if use_fast:
             out = _sketch_fused(
@@ -1874,38 +1895,78 @@ def _start_batch(batch: list[np.ndarray], k: int, w: int, use_fast: bool,
     return {
         "out": out, "dev": dev, "offs_dev": offs_dev, "offsets": offsets,
         "total": total, "nk": nk, "cap": cap, "cseg": cseg,
-        "r_bucket": r_bucket, "cmode": cmode,
+        "r_bucket": r_bucket, "cmode": cmode, "use_fast": use_fast,
     }
 
 
-def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
-                  use_fast: bool, interpret: bool) -> list[Sketch]:
-    """Synchronise one dispatched batch, run the (rare) retries, and split
-    the compacted stream back into per-record sketches."""
+def _batch_meta(states) -> list[np.ndarray | None]:
+    """ONE stacked fetch of every dispatched batch's sync scalars.
+
+    Each per-batch ``bool(flag)`` / ``int(count)`` on a device scalar costs
+    a full tunnel round-trip (~25 ms); stacking (count, ok-flag, seg_count)
+    across the whole dispatch wave syncs everything in one fetch.  Returns
+    per-state rows (None where the batch fell back before dispatch).
+    """
     import time
 
-    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-    if st is None:
-        return [_host_sketch(c, k, w) for c in batch]
+    idxs = [i for i, st in enumerate(states) if st is not None]
+    out: list[np.ndarray | None] = [None] * len(states)
+    if not idxs:
+        return out
+    t0 = time.monotonic()
+    rows = []
+    for i in idxs:
+        st = states[i]
+        o = st["out"]
+        if st["use_fast"]:
+            count, flag = o[3], o[5]
+            seg = jnp.zeros((), _I32)
+        else:
+            count, seg, flag = o[3], o[5], o[6]
+        rows.append(
+            jnp.stack([count.astype(_I32), flag.astype(_I32), seg.astype(_I32)])
+        )
+    meta = np.asarray(jnp.stack(rows))
+    for j, i in enumerate(idxs):
+        out[i] = meta[j]
+    _stage("sync", t0)
+    return out
+
+
+def _resolve_batch(st, batch: list[np.ndarray], k: int, w: int,
+                   use_fast: bool, interpret: bool, meta):
+    """Run the (rare) retries for one dispatched batch and DISPATCH its
+    cnt-sliced result stack (asynchronous — the blocking fetch happens in
+    ``_post_batch``, after every batch's stack is on the stream).
+
+    Returns ("host", None) for host fallback, ("empty", None), or
+    ("dev", state) with the stacked device array.
+    """
+    import time
+
+    if st is None or meta is None:
+        return ("host", None)
     t0 = time.monotonic()
     dev, offs_dev = st["dev"], st["offs_dev"]
     total, nk, cseg = st["total"], st["nk"], st["cseg"]
     r_bucket, cmode = st["r_bucket"], st["cmode"]
     out = st["out"]
     cap = st["cap"]
+    cnt, flag, seg = int(meta[0]), int(meta[1]), int(meta[2])
     try:
         for attempt in range(2):
             if use_fast:
                 pos, lo, hi, count, ok, slots_ok, run = out
-                if not bool(slots_ok):  # slot overflow: exact fallback
+                if not flag:  # slot overflow: exact fallback
                     pos, lo, hi, count, ok, _, run = _sketch_fused(
                         dev, total, k, w, cap, multi=True,
                         interpret=interpret, mode=cmode, slots=False,
                     )
+                    cnt = int(count)
             else:
                 run = None  # general-path emissions are uncompressed
                 pos, lo, hi, count, _, seg_count, g_slots_ok = out
-                if not bool(g_slots_ok):  # slot overflow: exact fallback
+                if not flag:  # slot overflow: exact fallback
                     pos, lo, hi, count, _, seg_count, _ = (
                         _sketch_fused_general(
                             dev, offs_dev, total, k, w, cap, cap_seg=cseg,
@@ -1913,50 +1974,74 @@ def _finish_batch(st, batch: list[np.ndarray], k: int, w: int,
                             slots=False,
                         )
                     )
-                if int(seg_count) > cseg:  # stream layout incomplete
-                    return [_host_sketch(c, k, w) for c in batch]
-            cnt = int(count)
+                    cnt, seg = int(count), int(seg_count)
+                if seg > cseg:  # stream layout incomplete
+                    return ("host", None)
             if cnt <= cap:
                 break
             # cap overflow: escalate 4x and re-run (device buffer reused)
             cap = max(20 * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
+            flag = 1
             if use_fast:
                 out = _sketch_fused(
                     dev, total, k, w, cap, multi=True, interpret=interpret,
                     mode=cmode,
                 )
+                cnt = int(out[3])
+                flag = int(jnp.asarray(out[5]).astype(_I32))
             else:
                 out = _sketch_fused_general(
                     dev, offs_dev, total, k, w, cap, cap_seg=cseg,
                     multi=True, interpret=interpret, mode=cmode,
                 )
+                cnt = int(out[3])
+                seg = int(out[5])
+                flag = int(jnp.asarray(out[6]).astype(_I32))
         else:  # pathological emission density; the host path is exact
-            return [_host_sketch(c, k, w) for c in batch]
+            return ("host", None)
+        if cnt == 0:
+            return ("empty", None)
+        # dispatch the cnt-sliced stacked fetch (one fetch per batch, all
+        # batches' stacks queue before any blocks in _post_batch)
+        cols = [
+            jax.lax.bitcast_convert_type(pos[:cnt], jnp.uint32),
+            lo[:cnt],
+            hi[:cnt],
+        ]
+        if run is not None:
+            cols.append(jax.lax.bitcast_convert_type(run[:cnt], jnp.uint32))
+        stacked = jnp.stack(cols)
     except Exception:
         if interpret:
             raise
-        return [_host_sketch(c, k, w) for c in batch]
+        return ("host", None)
     _stage("sync", t0)
-    t0 = time.monotonic()
+    return ("dev", {"stacked": stacked, "has_run": run is not None,
+                    "offsets": st["offsets"]})
+
+
+def _post_batch(res, batch: list[np.ndarray], k: int, w: int) -> list[Sketch]:
+    """Fetch one resolved batch's stack and split it into per-record
+    sketches (pure numpy; ~the result download over the tunnel)."""
+    import time
+
+    empty = Sketch(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    kind, data = res
+    if kind == "host":
+        return [_host_sketch(c, k, w) for c in batch]
     n_rec = len(batch)
-    offsets = st["offsets"]
     outs: list[Sketch] = [empty] * n_rec
-    if cnt == 0:
+    if kind == "empty":
         return outs
-    # one stacked fetch instead of three/four (each device->host fetch
-    # pays a ~25 ms tunnel round-trip)
-    cols = [
-        jax.lax.bitcast_convert_type(pos[:cnt], jnp.uint32),
-        lo[:cnt],
-        hi[:cnt],
-    ]
-    if run is not None:
-        cols.append(jax.lax.bitcast_convert_type(run[:cnt], jnp.uint32))
-    stacked = np.asarray(jnp.stack(cols))
+    t0 = time.monotonic()
+    stacked = np.asarray(data["stacked"])
+    _stage("fetch", t0)
+    t0 = time.monotonic()
+    offsets = data["offsets"]
     pos = stacked[0].view(np.int32).astype(np.int64)
     lo_np = stacked[1]
     hi_np = stacked[2]
-    runs_np = stacked[3].view(np.int32) if run is not None else None
+    runs_np = stacked[3].view(np.int32) if data["has_run"] else None
     pos, lo_np, hi_np = _expand_runs(pos, lo_np, hi_np, runs_np)
     cnt = pos.shape[0]
     keep = np.empty(cnt, dtype=bool)
@@ -1998,7 +2083,8 @@ def sketch_records_pallas(
     paints the invalid runs on device), and batches are pipelined: batch
     N+1's host packing and upload overlap batch N's device compute — every
     dispatch in ``_start_batch`` is asynchronous, syncs happen only in
-    ``_finish_batch``.  Small batches fall back to the per-record host path.
+    ``_resolve_batch``/``_post_batch``.  Small batches fall back to the
+    per-record host path.
     """
     if not codes_list:
         return []
@@ -2009,13 +2095,16 @@ def sketch_records_pallas(
     safe = _batch_i32_safe()
     out_all: list[Sketch] = [empty] * len(codes_list)
 
-    # segmentation plan: clean records pass through whole; N-containing
-    # records split into long clean segments (device pseudo-records) +
-    # host junction patches; pathological N densities (junction work
-    # rivalling the record) take the old device stream-compaction path
+    # segmentation plan (light): clean records pass through whole;
+    # N-containing records split into long clean segments (device
+    # pseudo-records) + host junction patches; pathological N densities
+    # (junction work rivalling the record) take the old device
+    # stream-compaction path.  Patch HASHING is deferred until every
+    # device batch is dispatched — the host CPU work then overlaps the
+    # uploads and device compute instead of serializing before them.
     t0 = _time.monotonic()
     entries: list[tuple[int, int, np.ndarray]] = []  # (orig, base, codes)
-    patches: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    patch_plans: dict[int, tuple] = {}
     segmented: set[int] = set()
     fallback_old: list[int] = []
     for i, c in enumerate(codes_list):
@@ -2033,11 +2122,12 @@ def sketch_records_pallas(
         for (s, e), nk_i in zip(segs, nks):
             if (e - s) >= (w + k - 1):
                 entries.append((i, s, c[s:e]))
-        patches[i] = _patch_emissions(c, k, w, segs, nks, offs, patch_ivs)
+        patch_plans[i] = (c, segs, nks, offs, patch_ivs)
     _stage("plan", t0)
 
-    # batch the clean entries by size; dispatch every batch before syncing
-    # any (uploads and compute pipeline on the device stream)
+    # batch the clean entries by size; dispatch every batch (fast AND
+    # general) before syncing any — uploads and compute pipeline on the
+    # device stream while the host hashes junction patches
     batches: list[list[tuple[int, int, np.ndarray]]] = []
     cur: list[tuple[int, int, np.ndarray]] = []
     acc = 0
@@ -2050,19 +2140,8 @@ def sketch_records_pallas(
         acc += sz
     if cur:
         batches.append(cur)
-    states = [
-        _start_batch([e[2] for e in b], k, w, True, interpret)
-        for b in batches
-    ]
-    piece_sketches: dict[int, list[tuple[int, Sketch]]] = {}
-    for st, b in zip(states, batches):
-        res = _finish_batch(st, [e[2] for e in b], k, w, True, interpret)
-        for (orig, base, _), sk in zip(b, res):
-            piece_sketches.setdefault(orig, []).append((base, sk))
-
-    # old general path for the pathological records
+    gb: list[list[int]] = []
     if fallback_old:
-        gb: list[list[int]] = []
         curg: list[int] = []
         acc = 0
         for i in fallback_old:
@@ -2074,17 +2153,43 @@ def sketch_records_pallas(
             acc += sz
         if curg:
             gb.append(curg)
-        gstates = [
-            _start_batch([np.asarray(codes_list[i]) for i in b], k, w, False,
-                         interpret)
-            for b in gb
-        ]
-        for st, b in zip(gstates, gb):
-            res = _finish_batch(
-                st, [np.asarray(codes_list[i]) for i in b], k, w, False,
-                interpret,
-            )
-            for i, sk in zip(b, res):
+
+    states = [
+        _start_batch([e[2] for e in b], k, w, True, interpret)
+        for b in batches
+    ] + [
+        _start_batch([np.asarray(codes_list[i]) for i in b], k, w, False,
+                     interpret)
+        for b in gb
+    ]
+    n_fast = len(batches)
+
+    # host junction patches, overlapped with the in-flight device wave
+    t0 = _time.monotonic()
+    patches: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for i, (c, segs, nks, offs, patch_ivs) in patch_plans.items():
+        patches[i] = _patch_emissions(c, k, w, segs, nks, offs, patch_ivs)
+    _stage("patch", t0)
+
+    # one stacked sync for the whole wave, then per-batch resolution
+    # (retries are rare) with every result stack dispatched before the
+    # first blocking fetch
+    metas = _batch_meta(states)
+    rec_lists = [[e[2] for e in b] for b in batches] + [
+        [np.asarray(codes_list[i]) for i in b] for b in gb
+    ]
+    resolved = [
+        _resolve_batch(st, rl, k, w, j < n_fast, interpret, meta)
+        for j, (st, rl, meta) in enumerate(zip(states, rec_lists, metas))
+    ]
+    piece_sketches: dict[int, list[tuple[int, Sketch]]] = {}
+    for j, (res, rl) in enumerate(zip(resolved, rec_lists)):
+        sketches = _post_batch(res, rl, k, w)
+        if j < n_fast:
+            for (orig, base, _), sk in zip(batches[j], sketches):
+                piece_sketches.setdefault(orig, []).append((base, sk))
+        else:
+            for i, sk in zip(gb[j - n_fast], sketches):
                 out_all[i] = sk
 
     # merge device pieces + junction patches per record
