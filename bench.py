@@ -75,6 +75,31 @@ k, w = 32, 1000
 rng = np.random.default_rng(42)
 codes = rng.integers(0, 4, size=size).astype(np.int8)
 
+# measured tunnel characteristics -> the whole-assembly throughput ceiling
+# (2-bit packed upload at the measured rate bounds any device path)
+pb = rng.integers(0, 256, size // 4, dtype=np.uint8)
+consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+int(consume(pb[: 1 << 20]))  # warm + session setup
+lts = []
+for _ in range(3):
+    t0 = time.monotonic()
+    int(consume(pb))
+    lts.append(time.monotonic() - t0)
+up_mbps = (size // 4) / min(lts) / 1e6
+dev_res = jax.device_put(np.zeros(1_200_000, np.int32))
+int(dev_res[0])
+t0 = time.monotonic()
+np.asarray(dev_res)
+down_mbps = 4.8 / (time.monotonic() - t0)
+one = jax.device_put(np.ones(1, np.int32))
+t0 = time.monotonic()
+for _ in range(5):
+    np.asarray(one)
+rtt_ms = (time.monotonic() - t0) / 5 * 1e3
+link = {{"upload_mb_s": round(up_mbps, 1), "download_mb_s": round(down_mbps, 1),
+        "rtt_ms": round(rtt_ms, 2),
+        "link_ceiling_gbps": round(up_mbps * 4 / 1e3, 4)}}
+
 # fused single-record throughput, device-resident (sync = count fetch)
 nk = size - k + 1
 halo = w + k - 2
@@ -136,6 +161,7 @@ print(json.dumps({{
     "fused_s": fused, "fused_pipe_s": fused_pipe,
     "multi_s": multi, "general_s": general,
     "multi_stages": multi_stages, "general_stages": general_stages,
+    "link": link,
 }}))
 """
 
@@ -214,14 +240,15 @@ def bench_e2e(size_mbp: int = 30, backend: str = "native") -> float:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def bench_scale_1gbp() -> dict:
-    """~1 Gbp end-to-end run via scripts/perf_scale.py (host backends);
-    returns {} on failure.  (BASELINE north star: human-scale draft.)"""
+def bench_scale(mbp: int, refs: int = 2, timeout: float = 3600) -> dict:
+    """Synthetic-scale end-to-end run via scripts/perf_scale.py (host
+    backend); returns {} on failure.  mbp=3000 is BASELINE config 5, the
+    human-scale north star (~3 Gbp draft + 2 references)."""
     try:
         res = subprocess.run(
             [sys.executable, os.path.join(_REPO, "scripts", "perf_scale.py"),
-             "--mbp", "1000", "--refs", "2", "--backend", "native"],
-            capture_output=True, text=True, timeout=3600,
+             "--mbp", str(mbp), "--refs", str(refs), "--backend", "native"],
+            capture_output=True, text=True, timeout=timeout,
             env=dict(
                 os.environ,
                 PYTHONPATH=_REPO + ":" + os.environ.get("PYTHONPATH", ""),
@@ -238,6 +265,30 @@ def bench_scale_1gbp() -> dict:
             except json.JSONDecodeError:
                 pass
     return out
+
+
+def bench_scaling_proxy() -> dict:
+    """Virtual-mesh scaling table (8-device CPU mesh; shard balance +
+    filter memory scaling — see scripts/scaling_proxy.py caveat)."""
+    env = dict(
+        os.environ,
+        PYTHONPATH=_REPO + ":" + os.environ.get("PYTHONPATH", ""),
+        JAX_PLATFORMS="cpu",
+    )
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "scripts", "scaling_proxy.py")],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return {}
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return {}
 
 
 def _ms(ts):
@@ -294,6 +345,9 @@ def main():
         detail["stages_general_s"] = {
             s: round(v, 3) for s, v in dev["general_stages"].items()
         }
+        if "link" in dev:
+            detail["link"] = dev["link"]
+            detail["link_ceiling_gbps"] = dev["link"]["link_ceiling_gbps"]
     else:
         device = "host-fallback"
         main_bps = baseline_bps
@@ -302,13 +356,28 @@ def main():
     e2e = sorted(bench_e2e(30, "native") for _ in range(3))
     detail["e2e_scaffold_30mbp_wall_s"] = round(e2e[0], 2)
     detail["e2e_scaffold_30mbp_median_s"] = round(e2e[1], 2)
+    # backend=auto must route host-scale jobs to the native path (round-3
+    # verdict item 5): its wall should match the native number
+    detail["e2e_scaffold_30mbp_auto_wall_s"] = round(bench_e2e(30, "auto"), 2)
     if device == "tpu":
         e2e_t = sorted(bench_e2e(30, "pallas") for _ in range(2))
         detail["e2e_scaffold_30mbp_tpu_wall_s"] = round(e2e_t[0], 2)
-    scale = bench_scale_1gbp()
+    scale = bench_scale(1000)
     if scale:
         detail["e2e_scaffold_1gbp_wall_s"] = round(scale.get("e2e_s", -1), 1)
         detail["e2e_scaffold_1gbp_rss_gb"] = scale.get("rss_gb")
+    # the human-scale north star: ~3 Gbp draft + 2 references (BASELINE
+    # config 5), wall + peak RSS + stage breakdown
+    scale3 = {} if os.environ.get("BENCH_SKIP_3GBP") else bench_scale(
+        3000, timeout=2700
+    )
+    if scale3:
+        detail["e2e_scaffold_3gbp_wall_s"] = round(scale3.get("e2e_s", -1), 1)
+        detail["e2e_scaffold_3gbp_rss_gb"] = scale3.get("rss_gb")
+        detail["e2e_scaffold_3gbp_stages"] = scale3.get("stages", {})
+    proxy = bench_scaling_proxy()
+    if proxy:
+        detail["scaling_proxy"] = proxy
 
     print(
         json.dumps(

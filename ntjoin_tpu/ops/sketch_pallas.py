@@ -400,7 +400,15 @@ _SLOTS = 32  # 31 data slots + the count row: repeat-run BOUNDARIES burst
 # 7 before + 8 after the head in one w-block), so 15 was one short for a
 # block holding both edges of a run; 31 tolerates several bursts
 _NSLOT = _SLOTS - 1
-_FAST_SLOTS = 4  # slot-assembly fast path bound (typical blocks emit ~2)
+# Slot-assembly fast-tier bound.  (env-overridable for perf sweeps)  The tier decision is per BLOCK via a max
+# over its 128 lanes, so the bound must sit far out on the per-lane tail:
+# raw emissions per (lane, w-window block) are ~Poisson(2), giving
+# P(lane > 4) ~ 5% -> with 128 lanes nearly every block would go dense,
+# while P(lane > 12) ~ 1e-7 keeps the dense tier (the full _NSLOT
+# assembly + run compression) to repeat-dense blocks only.  Measured v5e
+# @2^27 w=1000: FAST_SLOTS=4 left ~100% of blocks on the 31-slot dense
+# path (~250 VPU ops/elem of slot reductions).
+_FAST_SLOTS = 12
 
 
 def _pick_tr(w: int) -> int:
@@ -1899,38 +1907,36 @@ def _start_batch(batch: list[np.ndarray], k: int, w: int, use_fast: bool,
     }
 
 
-def _batch_meta(states) -> list[np.ndarray | None]:
-    """ONE stacked fetch of every dispatched batch's sync scalars.
+def _batch_meta_one(st) -> np.ndarray | None:
+    """One stacked fetch of a dispatched batch's sync scalars:
+    (count, ok-flag, seg_count, max run count).
 
-    Each per-batch ``bool(flag)`` / ``int(count)`` on a device scalar costs
-    a full tunnel round-trip (~25 ms); stacking (count, ok-flag, seg_count)
-    across the whole dispatch wave syncs everything in one fetch.  Returns
-    per-state rows (None where the batch fell back before dispatch).
+    Separate ``bool(flag)`` / ``int(count)`` fetches would each pay a
+    tunnel round-trip; one 4-wide stack syncs the batch in one.  The max
+    run count lets ``_resolve_batch`` skip fetching the run column
+    entirely when no equal-hash run compressed (the common case — 25%
+    less result download).
     """
     import time
 
-    idxs = [i for i, st in enumerate(states) if st is not None]
-    out: list[np.ndarray | None] = [None] * len(states)
-    if not idxs:
-        return out
+    if st is None:
+        return None
     t0 = time.monotonic()
-    rows = []
-    for i in idxs:
-        st = states[i]
-        o = st["out"]
-        if st["use_fast"]:
-            count, flag = o[3], o[5]
-            seg = jnp.zeros((), _I32)
-        else:
-            count, seg, flag = o[3], o[5], o[6]
-        rows.append(
-            jnp.stack([count.astype(_I32), flag.astype(_I32), seg.astype(_I32)])
-        )
-    meta = np.asarray(jnp.stack(rows))
-    for j, i in enumerate(idxs):
-        out[i] = meta[j]
+    o = st["out"]
+    if st["use_fast"]:
+        count, flag = o[3], o[5]
+        seg = jnp.zeros((), _I32)
+        runmax = jnp.max(o[6] & _I32(0xFFFF))
+    else:
+        count, seg, flag = o[3], o[5], o[6]
+        runmax = jnp.zeros((), _I32)
+    meta = np.asarray(
+        jnp.stack([
+            count.astype(_I32), flag.astype(_I32), seg.astype(_I32), runmax,
+        ])
+    )
     _stage("sync", t0)
-    return out
+    return meta
 
 
 def _resolve_batch(st, batch: list[np.ndarray], k: int, w: int,
@@ -1953,10 +1959,13 @@ def _resolve_batch(st, batch: list[np.ndarray], k: int, w: int,
     out = st["out"]
     cap = st["cap"]
     cnt, flag, seg = int(meta[0]), int(meta[1]), int(meta[2])
+    run_needed = int(meta[3]) > 1  # any compressed run to expand?
     try:
         for attempt in range(2):
             if use_fast:
                 pos, lo, hi, count, ok, slots_ok, run = out
+                if not run_needed:
+                    run = None  # all run words are count<=1: skip the fetch
                 if not flag:  # slot overflow: exact fallback
                     pos, lo, hi, count, ok, _, run = _sketch_fused(
                         dev, total, k, w, cap, multi=True,
@@ -1982,6 +1991,7 @@ def _resolve_batch(st, batch: list[np.ndarray], k: int, w: int,
             # cap overflow: escalate 4x and re-run (device buffer reused)
             cap = max(20 * (nk // w + 1) // 2, 4096) + _CHUNKS + 2 * r_bucket
             flag = 1
+            run_needed = True  # the truncated run stats can't be trusted
             if use_fast:
                 out = _sketch_fused(
                     dev, total, k, w, cap, multi=True, interpret=interpret,
@@ -2171,19 +2181,18 @@ def sketch_records_pallas(
         patches[i] = _patch_emissions(c, k, w, segs, nks, offs, patch_ivs)
     _stage("patch", t0)
 
-    # one stacked sync for the whole wave, then per-batch resolution
-    # (retries are rare) with every result stack dispatched before the
-    # first blocking fetch
-    metas = _batch_meta(states)
+    # per-batch interleaved sync -> resolve -> fetch -> post: batch j's
+    # result download overlaps batches j+1..'s uploads/compute on the
+    # stream (the per-batch scalar sync is one ~5 ms round-trip; a
+    # whole-wave stacked sync would stall the first download until the
+    # LAST batch finished computing)
     rec_lists = [[e[2] for e in b] for b in batches] + [
         [np.asarray(codes_list[i]) for i in b] for b in gb
     ]
-    resolved = [
-        _resolve_batch(st, rl, k, w, j < n_fast, interpret, meta)
-        for j, (st, rl, meta) in enumerate(zip(states, rec_lists, metas))
-    ]
     piece_sketches: dict[int, list[tuple[int, Sketch]]] = {}
-    for j, (res, rl) in enumerate(zip(resolved, rec_lists)):
+    for j, (st, rl) in enumerate(zip(states, rec_lists)):
+        meta = _batch_meta_one(st)
+        res = _resolve_batch(st, rl, k, w, j < n_fast, interpret, meta)
         sketches = _post_batch(res, rl, k, w)
         if j < n_fast:
             for (orig, base, _), sk in zip(batches[j], sketches):

@@ -1,7 +1,15 @@
 """Per-stage device timing of the sketch pipeline (run on one live chip).
 
-Usage: python scripts/kernel_prof.py [size_log2=24]
+ONE process, ONE session: every measurement batches into this script per
+CLAUDE.md (per-process session setup over the axon relay varies 3 s-35 min,
+two TPU processes wedge each other, and block_until_ready is a no-op — all
+syncs are host fetches).  Partial results print as JSON lines as stages
+complete, so a hung stage still leaves earlier numbers in the log.
+
+Usage: python scripts/kernel_prof.py [stage ...]
+    stages: link fused decomp window multi general   (default: all)
 """
+import json
 import os
 import sys
 import time
@@ -10,111 +18,397 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from ntjoin_tpu.constants import CODE_INVALID
-from ntjoin_tpu.ops.sketch_pallas import (
-    _CHUNKS, _ROW_BLOCK, _SUB, _LANE, _MAXU, _ceil_to,
-    _hash_chunked, _window_chunked, _sketch_fused,
-)
-
-def sync(x):
-    """Force completion by fetching one element to host.
-
-    jax.block_until_ready is a NO-OP over the axon TPU relay (returns
-    before the program runs); a host fetch is the only reliable barrier.
-    The fetch itself costs one tunnel round-trip (~25 ms) — subtract the
-    measured latency floor when interpreting results.
-    """
-    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+_DEADLINE = time.monotonic() + float(os.environ.get("KP_BUDGET_S", 3000))
 
 
-def timeit(fn, repeats=5):
-    sync(fn())
-    ts = []
-    for _ in range(repeats):
-        t0 = time.monotonic()
-        sync(fn())
-        ts.append(time.monotonic() - t0)
-    return min(ts)
+def left() -> float:
+    return _DEADLINE - time.monotonic()
 
 
-def main():
-    lg = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    n = 1 << lg
+def emit(name, obj):
+    print(json.dumps({name: obj}), flush=True)
+
+
+def main() -> int:
+    stages = sys.argv[1:] or ["link", "fused", "decomp", "multi", "general"]
+    import jax
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
+
+    enable_compile_cache()
+    os.environ["NTJOIN_TPU_TIMERS"] = "1"
+
+    from ntjoin_tpu.constants import CODE_INVALID
+    import ntjoin_tpu.ops.sketch_pallas as sp
+    from ntjoin_tpu.ops.sketch_pallas import (
+        _CHUNKS, _ROW_BLOCK, _ceil_to, _sketch_fused, sketch_records_pallas,
+    )
+
+    interp = bool(os.environ.get("KP_INTERPRET"))
+    emit("device", jax.devices()[0].platform)
+    size = int(os.environ.get("KP_SIZE", 1 << 27))
     k, w = 32, 1000
     rng = np.random.default_rng(42)
-    codes_np = rng.integers(0, 4, size=n).astype(np.uint8)
+    codes = rng.integers(0, 4, size=size).astype(np.int8)
 
-    nk = n - k + 1
+    nk = size - k + 1
     halo = w + k - 2
     L = -(-nk // _CHUNKS)
     code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     buf = np.full(_CHUNKS * L + code_rows, CODE_INVALID, dtype=np.int8)
-    buf[:n] = codes_np
+    buf[:size] = codes
     cap = max(5 * (nk // w + 1) // 2, 4096) + _CHUNKS
-    dev = jax.device_put(jnp.asarray(buf))
-    tiny = jax.device_put(jnp.ones(128, jnp.float32))
-    g1 = jax.jit(lambda y: y + 1)
-    lat = timeit(lambda: g1(tiny), 3)
-    print(f"n={n} L={L} code_rows={code_rows} cap={cap} "
-          f"sync-latency={lat*1e3:.1f}ms", flush=True)
 
-    # full fused
-    dt = timeit(lambda: _sketch_fused(dev, n, k, w, cap))
-    print(f"fused total      : {dt*1e3:9.2f} ms  {n/dt/1e9:7.3f} Gbp/s", flush=True)
+    def sync_scalar(x):
+        return np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
 
-    # layout only (same prologue as _sketch_fused)
-    @jax.jit
-    def layout(codes_padded):
-        codes = codes_padded.astype(jnp.int32)
-        sections = -(-(L + halo) // L)
-        blocks = [
-            codes[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
-            for s in range(sections)
+    def pipelined(fn, sync, reps=5, trials=3):
+        sync(fn())  # warm
+        best = []
+        for _ in range(trials):
+            t0 = time.monotonic()
+            outs = [fn() for _ in range(reps)]
+            for o in outs:
+                sync(o)
+            best.append((time.monotonic() - t0) / reps)
+        return sorted(best)
+
+    if "link" in stages:
+        # upload bandwidth: ship the packed 2-bit buffer (the product's
+        # actual transfer) and force materialization with a sum
+        nbytes = buf.shape[0] // 4
+        pb = np.random.default_rng(1).integers(
+            0, 256, nbytes, dtype=np.uint8
+        )
+
+        @jax.jit
+        def consume(x):
+            return jnp.sum(x, dtype=jnp.int32)
+
+        sync_scalar(consume(pb[: 1 << 20]))  # warm + session setup
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            sync_scalar(consume(pb))
+            ts.append(time.monotonic() - t0)
+        up_mbps = nbytes / min(ts) / 1e6
+        # download: fetch a results-sized array (~emissions * 16 B)
+        n_res = 4 * 300_000
+        dev_res = jax.device_put(np.zeros(n_res, np.int32))
+        sync_scalar(dev_res)
+        t0 = time.monotonic()
+        np.asarray(dev_res)
+        down_mbps = 4 * n_res / (time.monotonic() - t0) / 1e6
+        # RTT floor
+        one = jax.device_put(np.ones(1, np.int32))
+        t0 = time.monotonic()
+        for _ in range(5):
+            np.asarray(one)
+        rtt_ms = (time.monotonic() - t0) / 5 * 1e3
+        emit("link", {
+            "upload_mb_s": round(up_mbps, 1),
+            "download_mb_s": round(down_mbps, 1),
+            "rtt_ms": round(rtt_ms, 2),
+            # whole-assembly ceiling: packed upload at measured rate
+            "link_ceiling_gbps": round(size / ((size / 4) / (up_mbps * 1e6)) / 1e9, 3),
+        })
+
+    dev = jnp.asarray(buf)
+    sync_scalar(dev[:1])
+
+    if "fused" in stages and left() > 600:
+        out = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+        cnt = int(out[3])
+        ok = bool(out[4]) and bool(out[5]) and 0 < cnt <= cap
+        emit("fused_check", {"cnt": cnt, "ok": ok})
+        per_call = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            o = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+            int(o[3])
+            per_call.append(time.monotonic() - t0)
+        pipe = pipelined(
+            lambda: _sketch_fused(dev, size, k, w, cap, interpret=interp),
+            lambda o: int(o[3]),
+        )
+        emit("fused", {
+            "per_call_ms": [round(t * 1e3, 1) for t in sorted(per_call)],
+            "pipelined_ms": [round(t * 1e3, 1) for t in pipe],
+            "gbps_pipelined": round(size / min(pipe) / 1e9, 2),
+        })
+
+    if "decomp" in stages and left() > 600:
+        # stage decomposition, each under ONE jit with a sum consumer (a
+        # bare count return lets XLA DCE whole stages — CLAUDE.md)
+        from ntjoin_tpu.ops.sketch_pallas import (
+            _MAXU, _SUB, _LANE, _hash_chunked, _window_emit_chunked,
+            _compact_slots, _I32, _U32,
+        )
+
+        hash_rows = L + w - 1
+        nb = -(-hash_rows // w) + 1
+        rows_p = nb * w
+        nw = nk - w + 1
+
+        @jax.jit
+        def stage_layout_hash(codes_padded):
+            sections = -(-(L + halo) // L)
+            blocks = [
+                codes_padded[s * L: (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+                for s in range(sections)
+            ]
+            x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+            x8 = jnp.pad(
+                x8, ((0, code_rows - L - halo), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            x8 = x8.reshape(code_rows, _SUB, _LANE)
+            x_lag = jnp.pad(
+                x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            h_lo, h_hi, val = _hash_chunked.__wrapped__(x8, x_lag, k, interpret=interp)
+            return jnp.sum(h_lo, dtype=jnp.uint32) ^ jnp.sum(
+                h_hi, dtype=jnp.uint32
+            ) ^ jnp.sum(val, dtype=jnp.int8).astype(jnp.uint32)
+
+        t = pipelined(lambda: stage_layout_hash(dev), sync_scalar)
+        emit("stage_layout_hash_ms", [round(x * 1e3, 1) for x in t])
+
+        # layout alone (the int8 chunk transposes) vs hash alone
+        @jax.jit
+        def stage_layout_only(codes_padded):
+            sections = -(-(L + halo) // L)
+            blocks = [
+                codes_padded[s * L: (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+                for s in range(sections)
+            ]
+            x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+            x8 = jnp.pad(
+                x8, ((0, code_rows - L - halo), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            x8 = x8.reshape(code_rows, _SUB, _LANE)
+            x_lag = jnp.pad(
+                x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            return (
+                jnp.sum(x8, dtype=jnp.int32) + jnp.sum(x_lag, dtype=jnp.int32)
+            )
+
+        t = pipelined(lambda: stage_layout_only(dev), sync_scalar)
+        emit("stage_layout_only_ms", [round(x * 1e3, 1) for x in t])
+
+        @jax.jit
+        def build_x8(codes_padded):
+            sections = -(-(L + halo) // L)
+            blocks = [
+                codes_padded[s * L: (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+                for s in range(sections)
+            ]
+            x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+            x8 = jnp.pad(
+                x8, ((0, code_rows - L - halo), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            x8 = x8.reshape(code_rows, _SUB, _LANE)
+            x_lag = jnp.pad(
+                x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            return x8, x_lag
+
+        x8_s, x_lag_s = build_x8(dev)
+        sync_scalar(x8_s[:1, :1, :1])
+
+        @jax.jit
+        def stage_hash_only(x8, x_lag):
+            h_lo, h_hi, val = _hash_chunked.__wrapped__(
+                x8, x_lag, k, interpret=interp
+            )
+            return jnp.sum(h_lo, dtype=jnp.uint32) ^ jnp.sum(
+                h_hi, dtype=jnp.uint32
+            ) ^ jnp.sum(val, dtype=jnp.int8).astype(jnp.uint32)
+
+        t = pipelined(lambda: stage_hash_only(x8_s, x_lag_s), sync_scalar)
+        emit("stage_hash_only_ms", [round(x * 1e3, 1) for x in t])
+
+        # variant: pre-widened i32 codes (trades 4x HBM code traffic for
+        # no in-kernel int8->i32 vreg unpacking)
+        @jax.jit
+        def stage_hash_i32(x8, x_lag):
+            h_lo, h_hi, val = _hash_chunked.__wrapped__(
+                x8.astype(jnp.int32), x_lag.astype(jnp.int32), k,
+                interpret=interp,
+            )
+            return jnp.sum(h_lo, dtype=jnp.uint32) ^ jnp.sum(
+                h_hi, dtype=jnp.uint32
+            ) ^ jnp.sum(val, dtype=jnp.int8).astype(jnp.uint32)
+
+        t = pipelined(lambda: stage_hash_i32(x8_s, x_lag_s), sync_scalar)
+        emit("stage_hash_i32_ms", [round(x * 1e3, 1) for x in t])
+
+        # staged window inputs (pad + reshape, built once on device)
+        @jax.jit
+        def build_window_inputs(codes_padded):
+            sections = -(-(L + halo) // L)
+            blocks = [
+                codes_padded[s * L: (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+                for s in range(sections)
+            ]
+            x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+            x8 = jnp.pad(
+                x8, ((0, code_rows - L - halo), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            x8 = x8.reshape(code_rows, _SUB, _LANE)
+            x_lag = jnp.pad(
+                x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            h_lo, h_hi, val = _hash_chunked.__wrapped__(x8, x_lag, k, interpret=interp)
+            h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
+            h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows)
+            pad_rows = rows_p - hash_rows
+            h_lo = jnp.pad(
+                h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU
+            )
+            h_hi = jnp.pad(
+                h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU
+            )
+            return (
+                h_lo.reshape(rows_p, _CHUNKS), h_hi.reshape(rows_p, _CHUNKS)
+            )
+
+        gm_lo, gm_hi = build_window_inputs(dev)
+        sync_scalar(gm_lo[:1, :1])
+        scal = np.array([L, nw], np.int32)
+
+        for runs_flag in (True, False):
+            @jax.jit
+            def stage_window(lo, hi, rf=runs_flag):
+                oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
+                    lo, hi, jnp.asarray(scal), w, runs=rf, interpret=interp
+                )
+                return (
+                    jnp.sum(oix) + jnp.sum(olo) + jnp.sum(ohi) + jnp.sum(orun)
+                )
+
+            t = pipelined(lambda: stage_window(gm_lo, gm_hi), sync_scalar)
+            emit(
+                f"stage_window_runs{int(runs_flag)}_ms",
+                [round(x * 1e3, 1) for x in t],
+            )
+
+        @jax.jit
+        def stage_window_compact(lo, hi):
+            oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
+                lo, hi, jnp.asarray(scal), w, runs=True, interpret=interp
+            )
+            pos, o_lo, o_hi, o_run, count, slots_ok = _compact_slots(
+                oix, olo, ohi, orun, cap
+            )
+            return (
+                jnp.sum(pos) + jnp.sum(o_lo).astype(jnp.int32)
+                + count + slots_ok.astype(jnp.int32)
+            )
+
+        t = pipelined(lambda: stage_window_compact(gm_lo, gm_hi), sync_scalar)
+        emit("stage_window_compact_ms", [round(x * 1e3, 1) for x in t])
+
+        # repeat-dense variant: dense tier + propagate scan actually firing
+        codes_rep = codes.copy()
+        for s0 in range(0, size, size // 64):
+            codes_rep[s0: s0 + 4000] = 1  # poly-C blocks
+        buf_rep = np.full(_CHUNKS * L + code_rows, CODE_INVALID, np.int8)
+        buf_rep[:size] = codes_rep
+        dev_rep = jnp.asarray(buf_rep)
+        gm_lo_r, gm_hi_r = build_window_inputs(dev_rep)
+        sync_scalar(gm_lo_r[:1, :1])
+        t = pipelined(lambda: stage_window(gm_lo_r, gm_hi_r), sync_scalar)
+        emit("stage_window_repeatdense_ms", [round(x * 1e3, 1) for x in t])
+
+    if "sweep" in stages and left() > 600:
+        # kernel-parameter sweep on the full fused pipeline (each variant
+        # retraces + recompiles once; jax caches cleared between points)
+        def fused_time():
+            out = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+            int(out[3])
+            best = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                outs = [
+                    _sketch_fused(dev, size, k, w, cap, interpret=interp)
+                    for _ in range(5)
+                ]
+                for o in outs:
+                    int(o[3])
+                best.append((time.monotonic() - t0) / 5)
+            return round(min(best) * 1e3, 1)
+
+        for tr_v in (8, 40, 200, 1000):
+            os.environ["NTJOIN_TPU_TR"] = str(tr_v)
+            jax.clear_caches()
+            try:
+                emit(f"sweep_tr{tr_v}_ms", fused_time())
+            except Exception as e:  # noqa: BLE001
+                emit(f"sweep_tr{tr_v}_ms", f"fail {type(e).__name__}")
+        os.environ.pop("NTJOIN_TPU_TR", None)
+        for fs in (8, 16):
+            sp._FAST_SLOTS = fs
+            jax.clear_caches()
+            try:
+                emit(f"sweep_fastslots{fs}_ms", fused_time())
+            except Exception as e:  # noqa: BLE001
+                emit(f"sweep_fastslots{fs}_ms", f"fail {type(e).__name__}")
+        sp._FAST_SLOTS = 12
+        jax.clear_caches()
+
+    def trials(fn, n=3):
+        fn()  # warm
+        walls, st = [], []
+        for _ in range(n):
+            sp._STAGES.clear()
+            t0 = time.monotonic()
+            fn()
+            walls.append(time.monotonic() - t0)
+            st.append(dict(sp._STAGES))
+        best = min(range(n), key=lambda i: walls[i])
+        return sorted(walls), st[best]
+
+    if "multi" in stages and left() > 400:
+        recs = [codes[i: i + 2_000_000] for i in range(0, size, 2_000_000)]
+        multi, multi_stages = trials(
+            lambda: sketch_records_pallas(recs, k, w, interpret=interp)
+        )
+        emit("multi", {
+            "wall_s": [round(x, 3) for x in multi],
+            "gbps": round(size / min(multi) / 1e9, 4),
+            "stages_s": {s: round(v, 3) for s, v in multi_stages.items()},
+        })
+
+    if "general" in stages and left() > 400:
+        codes_n = codes.copy()
+        for s0 in rng.integers(0, size - 600, 100):
+            codes_n[s0: s0 + 500] = CODE_INVALID
+        recs_n = [
+            codes_n[i: i + 2_000_000] for i in range(0, size, 2_000_000)
         ]
-        x = jnp.concatenate(blocks, axis=0)[: L + halo]
-        x = jnp.pad(x, ((0, code_rows - L - halo), (0, 0)),
-                    constant_values=CODE_INVALID)
-        x = x.reshape(code_rows, _SUB, _LANE)
-        x_lag = jnp.pad(x[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
-                        constant_values=CODE_INVALID)
-        return x, x_lag
+        general, general_stages = trials(
+            lambda: sketch_records_pallas(recs_n, k, w, interpret=interp)
+        )
+        emit("general", {
+            "wall_s": [round(x, 3) for x in general],
+            "gbps": round(size / min(general) / 1e9, 4),
+            "stages_s": {s: round(v, 3) for s, v in general_stages.items()},
+        })
 
-    dt = timeit(lambda: layout(dev))
-    print(f"layout           : {dt*1e3:9.2f} ms", flush=True)
-
-    x, x_lag = layout(dev)
-    sync((x, x_lag))
-
-    dt = timeit(lambda: _hash_chunked(x, x_lag, k))
-    gb = n / dt / 1e9
-    print(f"hash kernel      : {dt*1e3:9.2f} ms  {gb:7.3f} Gbp/s", flush=True)
-
-    h_lo, h_hi, val = _hash_chunked(x, x_lag, k)
-    sync(h_lo)
-    hash_rows = L + w - 1
-    nb = -(-hash_rows // w) + 1
-    rows_p = nb * w
-    h_lo2 = jnp.pad(h_lo[k - 1 : k - 1 + hash_rows],
-                    ((0, rows_p - hash_rows), (0, 0), (0, 0)),
-                    constant_values=_MAXU)
-    h_hi2 = jnp.pad(h_hi[k - 1 : k - 1 + hash_rows],
-                    ((0, rows_p - hash_rows), (0, 0), (0, 0)),
-                    constant_values=_MAXU)
-    gm_lo = h_lo2.transpose(1, 0, 2)
-    gm_hi = h_hi2.transpose(1, 0, 2)
-    sync((gm_lo, gm_hi))
-    l_arr = jnp.full((1,), L, jnp.int32)
-
-    dt = timeit(lambda: _window_chunked(gm_lo, gm_hi, l_arr, w))
-    print(f"window kernel    : {dt*1e3:9.2f} ms  {n/dt/1e9:7.3f} Gbp/s "
-          f"(rows_p={rows_p} nb={nb})", flush=True)
+    emit("done", True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
