@@ -44,11 +44,18 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 _MAXU = np.uint32(0xFFFFFFFF)
 
-_SUB = 8  # sublanes per row tile
+# Sublanes per row tile of the chunk layout.  The hash recurrence is
+# ISSUE-bound (~66 tiny vector instructions per row advance all chunks one
+# base), so more chunks per row = more data per instruction = fewer
+# instructions per base: _SUB=16 (2048 chunks) measured ~1.5x faster hash
+# than _SUB=8 on a v5e @2^27, at ~2% extra halo work.  Env-overridable for
+# sweeps; _ROW_BLOCK shrinks with _SUB to hold the hash kernel's VMEM
+# working set (in/out blocks, double-buffered) roughly constant.
+_SUB = int(os.environ.get("NTJOIN_TPU_SUB", 16))
 _LANE = 128
-_CHUNKS = _SUB * _LANE  # 1024 lanes = chunks
+_CHUNKS = _SUB * _LANE
 
-_ROW_BLOCK = 256  # rows per grid step in the hash kernel (VMEM budget with double buffering)
+_ROW_BLOCK = max(64, 2048 // _SUB)  # rows per grid step in the hash kernel
 
 
 def _split64(v: int) -> tuple[np.uint32, np.uint32]:
@@ -400,15 +407,16 @@ _SLOTS = 32  # 31 data slots + the count row: repeat-run BOUNDARIES burst
 # 7 before + 8 after the head in one w-block), so 15 was one short for a
 # block holding both edges of a run; 31 tolerates several bursts
 _NSLOT = _SLOTS - 1
-# Slot-assembly fast-tier bound.  (env-overridable for perf sweeps)  The tier decision is per BLOCK via a max
+# Slot-assembly fast-tier bound.  The tier decision is per BLOCK via a max
 # over its 128 lanes, so the bound must sit far out on the per-lane tail:
 # raw emissions per (lane, w-window block) are ~Poisson(2), giving
 # P(lane > 4) ~ 5% -> with 128 lanes nearly every block would go dense,
-# while P(lane > 12) ~ 1e-7 keeps the dense tier (the full _NSLOT
-# assembly + run compression) to repeat-dense blocks only.  Measured v5e
-# @2^27 w=1000: FAST_SLOTS=4 left ~100% of blocks on the 31-slot dense
-# path (~250 VPU ops/elem of slot reductions).
-_FAST_SLOTS = 12
+# while P(lane > 8) ~ 2e-4 keeps the dense tier (the full _NSLOT assembly
+# + run compression) to ~2% of blocks.  Measured v5e @2^27 w=1000:
+# FAST_SLOTS=4 left ~100% of blocks on the 31-slot dense path (~250 VPU
+# ops/elem of slot reductions; fused 60.7 ms); 8 measured 48.1 ms vs 12's
+# 49.1 and 16's 50.2.
+_FAST_SLOTS = 8
 
 
 def _pick_tr(w: int) -> int:
@@ -472,9 +480,15 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     slot overflow needs > _NSLOT DISTINCT minima per w windows, which is
     density-pathological rather than repeat-content-dependent.
 
-    scal_ref: SMEM (2,) i32 = [L (stream rows per chunk), n_windows].
-    With ``has_flags`` an extra per-window input carries bit0 = window
-    valid, bit1 = force-emit (record starts in the multi paths).
+    scal_ref: SMEM (3,) i32 = [L (stream rows per chunk), n_windows, off].
+    ``off`` lets the kernel consume END-indexed hash rows straight from
+    the hash kernel (row r = hash of the k-mer ending at r): the lane's
+    owned windows live at rows [off, off + L) with global position
+    chunk*L + row - off, so the k-1 start-index slice+pad copy of both
+    1 GB-class hash arrays disappears (callers subtract ``off`` from the
+    emitted indices instead).  With ``has_flags`` an extra per-window
+    input carries bit0 = window valid, bit1 = force-emit (record starts
+    in the multi paths).
 
     Layout: inputs are 2-D (rows, CHUNKS) with column j = chunk j (the
     free reshape of the hash kernel's (rows, SUB, LANE) output — NO
@@ -505,6 +519,7 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     fills = (maxu, maxu, maxi)
     L = scal_ref[0]
     nwin = scal_ref[1]
+    off = scal_ref[2]
     lane = jax.lax.broadcasted_iota(_I32, (tr, _LANE), 1)
     chunk = g * _LANE + lane
     row_in_tile = jax.lax.broadcasted_iota(_I32, (tr, _LANE), 0)
@@ -559,8 +574,13 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     )
     lane_w = jax.lax.broadcasted_iota(_I32, (w, _LANE), 1)
     chunk_w = g * _LANE + lane_w
-    valid = (win_row < L) & (chunk_w * L + win_row < nwin)
-    first = win_row == 0
+    valid = (
+        (win_row >= off)
+        & (win_row < off + L)
+        & (chunk_w * L + win_row - off < nwin)
+    )
+    first = win_row == off  # the lane's first VALID window force-emits
+    # (its prev-row argmin is a warmup/junk window's and may alias it)
     if has_flags:
         f = flg_ref[...]
         valid &= (f & 1) == 1
@@ -710,9 +730,11 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     jax.lax.fori_loop(0, nt, bwd, init)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "runs", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("w", "runs", "nb", "interpret")
+)
 def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
-                         interpret: bool = False):
+                         nb: int | None = None, interpret: bool = False):
     """Slot-compacted per-window emissions, per lane (kernel v3).
 
     Inputs (rows, NL) 2-D with column j = chunk j (the FREE reshape of the
@@ -727,7 +749,9 @@ def _window_emit_chunked(lo, hi, scal, w: int, flags=None, runs: bool = True,
     """
     rows, nl = lo.shape
     groups = nl // _LANE
-    nb = rows // w
+    if nb is None:
+        nb = rows // w
+    assert nb * w <= rows
     tr = _pick_tr(w)
     if tr == 0:
         raise ValueError(f"no v3 scan tiling for w={w}")
@@ -1098,12 +1122,20 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     nk = n - k + 1
     halo = w + k - 2
     L = -(-nk // _CHUNKS)
-    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
     hash_rows = L + w - 1
     nb = -(-hash_rows // w) + 1
     rows_p = nb * w
     nw = nk - w + 1
     use_slots = slots and _pick_tr(w) > 0
+    code_rows = _ceil_to(L + halo, _ROW_BLOCK)
+    if use_slots:
+        # the slot path feeds END-indexed hash rows straight to the window
+        # kernel: its nb_raw w-blocks (incl. the flush block) must exist in
+        # the buffer (rows past L+halo hold invalid-code padding hashes
+        # that only reach geometry-masked windows)
+        code_rows = _ceil_to(
+            max(L + halo, (-(-(L + halo) // w) + 1) * w), _ROW_BLOCK
+        )
 
     # chunk layout rows [s*L, (s+1)*L) come from the flat array shifted by
     # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
@@ -1124,19 +1156,26 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
 
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
-    # start-indexed hash rows for the window stage
-    h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
-    h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows)
-    val = jax.lax.slice_in_dim(val, k - 1, k - 1 + hash_rows)
-    pad_rows = rows_p - hash_rows
-
     if use_slots:
+        # END-indexed rows go STRAIGHT into the window kernel (row r =
+        # hash of the k-mer ending at r; windows live at rows
+        # [off, off + L) with off = k - 1): no k-1 slice + pad copy of the
+        # two GB-class hash arrays.  The sizing above guarantees
+        # code_rows >= nb_raw * w, so the kernel's nb_raw blocks (incl.
+        # the flush block) read real buffer rows; rows past the valid
+        # range hold warmup/padding hashes that only ever reach
+        # geometry-masked windows.
+        off = k - 1
+        nb_raw = -(-(L + halo) // w) + 1
         # N-detection without materialized iotas: for an N-free record the
         # number of valid k-mer slots in the layout (halo duplicates
         # included) is a closed form of the static shapes
         if multi:
             ok = jnp.asarray(True)
         else:
+            # per chunk: valid k-mer ends live at raw rows
+            # [off, off + min(hash_rows, nk - c*L)) — rows past L + halo
+            # hold invalid-code padding and contribute nothing
             expected = sum(
                 max(0, min(hash_rows, nk - c * L)) for c in range(_CHUNKS)
             )
@@ -1147,9 +1186,11 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
         if multi:
             # window-valid = all w k-mers valid (cumsum + two shifts);
             # record-first = false->true edge of window-valid
-            val_p = jnp.pad(val, ((0, pad_rows), (0, 0), (0, 0)))
-            vcum = jnp.cumsum(val_p, axis=0, dtype=_I32)  # val is int8
-            rows_out = rows_p - w
+            rows_out = (nb_raw - 1) * w
+            vcum = jnp.cumsum(
+                jax.lax.slice_in_dim(val, 0, rows_out + w), axis=0,
+                dtype=_I32,
+            )
             upper = jax.lax.slice_in_dim(vcum, w - 1, w - 1 + rows_out)
             lower = jnp.concatenate(
                 [jnp.zeros((1, _SUB, _LANE), vcum.dtype), vcum[: rows_out - 1]],
@@ -1164,20 +1205,29 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
                 win_valid.astype(_I32) | (first_w.astype(_I32) << 1)
             ).reshape(rows_out, _CHUNKS)
 
-        h_lo = jnp.pad(h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
-        h_hi = jnp.pad(h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MAXU)
         # FREE reshape: (rows, SUB, LANE) column j = chunk j — the window
         # kernel's column BlockSpec replaces the old 1 GB-class transpose
-        gm_lo = h_lo.reshape(rows_p, _CHUNKS)
-        gm_hi = h_hi.reshape(rows_p, _CHUNKS)
-        scal = jnp.stack([jnp.asarray(L, _I32), jnp.asarray(nw, _I32)])
+        gm_lo = h_lo.reshape(code_rows, _CHUNKS)
+        gm_hi = h_hi.reshape(code_rows, _CHUNKS)
+        scal = jnp.stack([
+            jnp.asarray(L, _I32), jnp.asarray(nw, _I32),
+            jnp.asarray(off, _I32),
+        ])
         oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
-            gm_lo, gm_hi, scal, w, flags=flags, interpret=interpret
+            gm_lo, gm_hi, scal, w, flags=flags, nb=nb_raw,
+            interpret=interpret,
         )
         out_pos, out_lo, out_hi, out_run, count, slots_ok = _compact_slots(
             oix, olo, ohi, orun, cap
         )
-        return out_pos, out_lo, out_hi, count, ok, slots_ok, out_run
+        # emitted indices are raw-row based: shift to stream positions
+        return out_pos - off, out_lo, out_hi, count, ok, slots_ok, out_run
+
+    # start-indexed hash rows for the (exact full-array) window stage
+    h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows)
+    h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows)
+    val = jax.lax.slice_in_dim(val, k - 1, k - 1 + hash_rows)
+    pad_rows = rows_p - hash_rows
 
     row_iota = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (hash_rows, _SUB, _LANE), 0)
@@ -1474,9 +1524,10 @@ def _sketch_fused_general(codes_padded, offsets, n: int, k: int, w: int,
             wvalid = (upper_b - base_b) == 0
             wfirst = jax.lax.slice_in_dim(bflag, 0, rows_out2) == 1
             flags = wvalid.astype(_I32) | (wfirst.astype(_I32) << 1)
-        scal = jnp.stack(
-            [jnp.asarray(L2, _I32), (stream_count - w + 1).astype(_I32)]
-        )
+        scal = jnp.stack([
+            jnp.asarray(L2, _I32), (stream_count - w + 1).astype(_I32),
+            jnp.asarray(0, _I32),  # stream layout is already start-indexed
+        ])
         oix, olo, ohi, orun = _window_emit_chunked.__wrapped__(
             s_lo, s_hi, scal, w, flags=flags, runs=False,
             interpret=interpret,

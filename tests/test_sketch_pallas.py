@@ -16,7 +16,9 @@ def _assert_same(codes, k, w):
 @pytest.mark.parametrize("seed,k,w", [(0, 15, 10), (1, 32, 25), (2, 21, 40)])
 def test_random_parity(seed, k, w):
     rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    # sized so L = n/_CHUNKS >= w: the wrapper must stay on the kernel
+    # path (not the host fallback) under the 2048-chunk default layout
+    codes = rng.integers(0, 4, size=160_000).astype(np.uint8)
     _assert_same(codes, k, w)
 
 
