@@ -91,13 +91,17 @@ _LOCAL_MIN_BASES = 8_000_000  # local device wins early (compile amortized)
 _RELAY_MIN_BASES = 4_000_000_000  # relay: host native wins at human scale
 
 
-def _device_probe(timeout: float = 45.0) -> tuple[bool, float]:
+def _device_probe(
+    timeout: float = 45.0, cache_negative: bool = True
+) -> tuple[bool, float]:
     """Probe accelerator health + per-op round-trip latency in a throwaway
     subprocess (init can hang when the tunnel is down — see CLAUDE.md).
 
     Returns (healthy, op_ms).  The verdict is cached on disk for
     ``_PROBE_TTL_S`` so repeated CLI runs against a dead tunnel don't each
-    pay the full probe timeout.
+    pay the full probe timeout.  With ``cache_negative=False`` a
+    timeout/failure is NOT cached (used by short-timeout routing probes:
+    a slow-but-alive relay must not be marked dead for the TTL).
     """
     import subprocess
     import tempfile
@@ -131,11 +135,14 @@ def _device_probe(timeout: float = 45.0) -> tuple[bool, float]:
                 break
     except (subprocess.TimeoutExpired, OSError, ValueError, IndexError):
         healthy = False
-    try:
-        with open(cache, "w", encoding="utf-8") as fh:
-            fh.write(f"{time.time()} {'ok' if healthy else 'bad'} {op_ms:.3f}")
-    except OSError:
-        pass
+    if healthy or cache_negative:
+        try:
+            with open(cache, "w", encoding="utf-8") as fh:
+                fh.write(
+                    f"{time.time()} {'ok' if healthy else 'bad'} {op_ms:.3f}"
+                )
+        except OSError:
+            pass
     return healthy, op_ms
 
 
@@ -174,7 +181,23 @@ def _sketch_backend(name: str, total_bases: int | None = None):
     enforce it.
     """
     if name == "auto":
-        healthy, op_ms = _device_probe()
+        bases = total_bases or 0
+        local_min = int(
+            os.environ.get("NTJOIN_TPU_AUTO_LOCAL_MIN", _LOCAL_MIN_BASES)
+        )
+        relay_min = int(
+            os.environ.get("NTJOIN_TPU_AUTO_RELAY_MIN", _RELAY_MIN_BASES)
+        )
+        if bases < local_min:
+            healthy = False  # too small for any device: skip the probe
+        elif bases < relay_min:
+            # only a LOCAL-class device could win this job, and those
+            # answer the probe in seconds — a slow/timed-out probe IS the
+            # relay signal, so don't pay (or negatively cache) the full
+            # dead-tunnel timeout on host-scale jobs
+            healthy, op_ms = _device_probe(timeout=10.0, cache_negative=False)
+        else:
+            healthy, op_ms = _device_probe()
         if healthy and _auto_wants_device(total_bases, op_ms):
             name = "pallas"
     if name in ("pallas", "tpu"):

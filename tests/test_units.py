@@ -469,17 +469,38 @@ def test_auto_backend_routing_policy(monkeypatch, tmp_path):
     monkeypatch.delenv("NTJOIN_TPU_AUTO_RELAY_MIN")
 
     # _sketch_backend: healthy relay device + small job -> native/host path
-    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (True, 25.0))
+    monkeypatch.setattr(cli, "_device_probe",
+                    lambda timeout=45.0, cache_negative=True: (True, 25.0))
     be = cli._sketch_backend("auto", total_bases=30_000_000)
     assert not be.__module__.endswith(("sketch_pallas", "sketch_jax"))
     # healthy local device -> pallas path
-    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (True, 0.2))
+    monkeypatch.setattr(cli, "_device_probe",
+                    lambda timeout=45.0, cache_negative=True: (True, 0.2))
     be = cli._sketch_backend("auto", total_bases=30_000_000)
     assert be.__module__.endswith("sketch_pallas")
     # unhealthy -> host regardless
-    monkeypatch.setattr(cli, "_device_probe", lambda timeout=45.0: (False, 1e9))
+    monkeypatch.setattr(cli, "_device_probe",
+                    lambda timeout=45.0, cache_negative=True: (False, 1e9))
     be = cli._sketch_backend("auto", total_bases=10**10)
     assert not be.__module__.endswith(("sketch_pallas", "sketch_jax"))
+
+    # tiny jobs never probe at all; host-scale jobs use a SHORT
+    # non-caching probe (a dead tunnel must not cost the 45 s timeout)
+    calls = {}
+
+    def probing(timeout=45.0, cache_negative=True):
+        calls["timeout"] = timeout
+        calls["cache_negative"] = cache_negative
+        return (False, 1e9)
+
+    monkeypatch.setattr(cli, "_device_probe", probing)
+    cli._sketch_backend("auto", total_bases=1_000_000)
+    assert not calls  # below the local threshold: no probe
+    cli._sketch_backend("auto", total_bases=30_000_000)
+    assert calls == {"timeout": 10.0, "cache_negative": False}
+    calls.clear()
+    cli._sketch_backend("auto", total_bases=10**10)
+    assert calls == {"timeout": 45.0, "cache_negative": True}
 
 
 def test_device_probe_cache_roundtrip(tmp_path, monkeypatch):
