@@ -151,7 +151,9 @@ class Scaffolder:
         }
 
         self._log("Finding paths")
-        graph_paths, n_components = find_paths(self.graph, self.shared, cfg.n)
+        graph_paths, n_components = find_paths(
+            self.graph, self.shared, cfg.n, device=use_device_index
+        )
         self._log(f"Total number of components in graph: {n_components}")
 
         builder = PathBuilder(

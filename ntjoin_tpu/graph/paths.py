@@ -212,7 +212,8 @@ def _walk_chain(n1, n2, e1, e2, source: int, length: int):
 
 
 def find_paths(
-    graph: MinimizerGraph, shared: SharedIndex, n_min: float
+    graph: MinimizerGraph, shared: SharedIndex, n_min: float,
+    device: bool = False,
 ) -> tuple[list[tuple[list[int], SubGraphView]], int]:
     """Extract validated simple paths from every component.
 
@@ -224,6 +225,13 @@ def find_paths(
     Simple chains (the overwhelmingly common case) are walked natively over
     flat two-neighbour arrays; only branchy leftovers and circular
     subcomponents build python adjacency views.
+
+    ``device=True`` (wired when ``index_backend=device``) runs the two
+    graph-scale passes as XLA programs: the escalating branch filter as a
+    lax.while_loop of masked scatter-add degree passes, and ALL simple
+    chains at once via half-edge pointer-jumping list ranking
+    (``ops/device_paths.py``) — bit-identical results, with host fallback
+    on any device trouble.
     """
     weights = np.array([a.weight for a in shared.assemblies])
     if graph.num_nodes == 0:
@@ -231,7 +239,19 @@ def find_paths(
     comp = graph.components()
     ncomp = int(comp.max()) + 1 if comp.size else 0
 
-    escalating_branch_filter(graph, comp, n_min, float(weights.sum()))
+    filtered = False
+    if device:
+        try:
+            from ntjoin_tpu.ops.device_paths import escalate_filter_device
+
+            graph.alive = escalate_filter_device(
+                graph, comp, n_min, float(weights.sum())
+            )
+            filtered = True
+        except Exception:  # device trouble: the host pass is exact
+            filtered = False
+    if not filtered:
+        escalating_branch_filter(graph, comp, n_min, float(weights.sum()))
 
     sub = graph.components()
     deg = graph.degrees()
@@ -279,6 +299,15 @@ def find_paths(
     n2[ends_s[m1]] = other_s[m1]
     e2[ends_s[m1]] = eid_s[m1]
 
+    walker = None
+    if device:
+        try:
+            from ntjoin_tpu.ops.device_paths import make_rank_walker
+
+            walker = make_rank_walker(n1, n2, e1, e2)
+        except Exception:  # device trouble: the native walk is exact
+            walker = None
+
     # deterministic order: (parent component min node, subcomponent min node)
     labels = sorted(
         label_of,
@@ -297,7 +326,12 @@ def find_paths(
         if d1.shape[0] == 2 and (degs <= 2).all():
             # simple chain: native walk, no python adjacency
             s, t = _pick_endpoints([int(x) for x in d1], shared, weights)
-            nodes_o, eids_o = _walk_chain(n1, n2, e1, e2, s, members.shape[0])
+            if walker is not None:
+                nodes_o, eids_o = walker.walk(s)
+            else:
+                nodes_o, eids_o = _walk_chain(
+                    n1, n2, e1, e2, s, members.shape[0]
+                )
             if nodes_o.shape[0] == members.shape[0] and int(nodes_o[-1]) == t:
                 view = ChainView(graph, nodes_o, eids_o)
                 results.append(([int(x) for x in nodes_o], view))
