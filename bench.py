@@ -361,7 +361,9 @@ def main():
     # repeated CLI runs) should match the native number; cold pays one
     # ~10 s routing probe per cache TTL
     auto_cold = bench_e2e(30, "auto")
-    detail["e2e_scaffold_30mbp_auto_wall_s"] = round(bench_e2e(30, "auto"), 2)
+    detail["e2e_scaffold_30mbp_auto_wall_s"] = round(
+        min(bench_e2e(30, "auto") for _ in range(2)), 2
+    )
     detail["e2e_scaffold_30mbp_auto_cold_wall_s"] = round(auto_cold, 2)
     if device == "tpu":
         e2e_t = sorted(bench_e2e(30, "pallas") for _ in range(2))

@@ -89,7 +89,9 @@ def _sel(code, tab):
     return lo, hi
 
 
-_UNROLL = 8  # recurrence rows advanced per loop iteration
+# recurrence rows advanced per loop iteration (env-overridable for sweeps;
+# must divide _ROW_BLOCK)
+_UNROLL = int(os.environ.get("NTJOIN_TPU_UNROLL", 8))
 
 
 def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
