@@ -2170,8 +2170,15 @@ def sketch_records_pallas(
     patch_plans: dict[int, tuple] = {}
     segmented: set[int] = set()
     fallback_old: list[int] = []
+    fallback_host: list[int] = []
+    i32_cap = (1 << 31) - (1 << 20)  # device positions are int32
     for i, c in enumerate(codes_list):
         c = np.asarray(c)
+        if c.shape[0] >= i32_cap:
+            # a single record past the int32 device-position cap cannot
+            # ride any device batch: host sketcher (exact, unlimited)
+            fallback_host.append(i)
+            continue
         runs = _invalid_runs(c, 0)
         if not runs:
             entries.append((i, 0, c))
@@ -2190,13 +2197,22 @@ def sketch_records_pallas(
 
     # batch the clean entries by size; dispatch every batch (fast AND
     # general) before syncing any — uploads and compute pipeline on the
-    # device stream while the host hashes junction patches
+    # device stream while the host hashes junction patches.  Batches are
+    # balanced to ~equal size (instead of greedy-filling to the cap): a
+    # tiny tail batch would fall below the device layout minimum and take
+    # the host path record by record.
+    total_sz = sum(int(e[2].shape[0]) + sep + 3 for e in entries)
+    n_batches = max(1, -(-total_sz // safe))
+    target = -(-total_sz // n_batches)
     batches: list[list[tuple[int, int, np.ndarray]]] = []
     cur: list[tuple[int, int, np.ndarray]] = []
     acc = 0
     for ent in entries:
         sz = int(ent[2].shape[0]) + sep + 3
-        if cur and acc + sz > safe:
+        if cur and (
+            acc + sz > safe  # hard cap: i32/HBM bound, never exceeded
+            or (acc + sz > target and len(batches) < n_batches - 1)
+        ):
             batches.append(cur)
             cur, acc = [], 0
         cur.append(ent)
@@ -2253,6 +2269,10 @@ def sketch_records_pallas(
         else:
             for i, sk in zip(gb[j - n_fast], sketches):
                 out_all[i] = sk
+
+    # int32-cap giants: host sketcher, after the device wave completes
+    for i in fallback_host:
+        out_all[i] = _host_sketch(np.asarray(codes_list[i]), k, w)
 
     # merge device pieces + junction patches per record
     t0 = _time.monotonic()

@@ -397,3 +397,24 @@ def test_multi_record_batch_split_parity(monkeypatch):
         ref = sketch_codes(codes, 15, 10)
         assert sk.positions.tolist() == ref.positions.tolist()
         assert sk.hashes.tolist() == ref.hashes.tolist()
+
+
+def test_batched_int32_guard_routes_giant_record_to_host(monkeypatch):
+    """A single record past the int32 device-position cap inside a BATCH
+    must route to the host sketcher (device positions would overflow);
+    normal-sized records in the same call stay on the device path."""
+    import ntjoin_tpu.ops.sketch_pallas as sp
+
+    calls = []
+
+    def fake_host(codes, k, w):
+        calls.append(codes.shape[0])
+        return "HOST_SENTINEL"
+
+    monkeypatch.setattr(sp, "_host_sketch", fake_host)
+    small = np.random.default_rng(1).integers(0, 4, 40_000).astype(np.uint8)
+    giant = np.zeros((1 << 31) - (1 << 20), dtype=np.int8)  # untouched pages
+    out = sp.sketch_records_pallas([small, giant], 15, 10, interpret=True)
+    assert out[1] == "HOST_SENTINEL" and calls == [giant.shape[0]]
+    ref = sketch_codes(small, 15, 10)
+    assert out[0].positions.tolist() == ref.positions.tolist()
