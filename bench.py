@@ -348,6 +348,19 @@ def main():
         if "link" in dev:
             detail["link"] = dev["link"]
             detail["link_ceiling_gbps"] = dev["link"]["link_ceiling_gbps"]
+            # whole-assembly paths are TRANSFER-bound: the physical floor
+            # is the 2-bit packed upload plus the ~16 B/minimizer result
+            # download at the measured link rates; efficiency = floor/wall
+            up = dev["link"]["upload_mb_s"] * 1e6
+            down = dev["link"]["download_mb_s"] * 1e6
+            floor_s = (size / 4) / up + (16 * size / 500) / down
+            detail["assembly_transfer_floor_s"] = round(floor_s, 3)
+            detail["multi_link_efficiency"] = round(
+                floor_s / min(dev["multi_s"]), 3
+            )
+            detail["general_link_efficiency"] = round(
+                floor_s / min(dev["general_s"]), 3
+            )
     else:
         device = "host-fallback"
         main_bps = baseline_bps
