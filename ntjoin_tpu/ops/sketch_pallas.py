@@ -954,6 +954,11 @@ _PATCH_WORK_MIN = 1 << 20
 # bench.py resets/reads them for its per-stage detail).
 _STAGES: dict[str, float] = {}
 
+# Observed effective rates (Gbp/s) of the device batch path and the host
+# native sketcher, kept across calls in this process: they size the
+# host/device split of the next whole-assembly call.
+_RATE_STATE: dict[str, float | None] = {"dev_gbps": None, "host_gbps": None}
+
 
 def _stage(name: str, t0: float) -> None:
     import time
@@ -2195,13 +2200,51 @@ def sketch_records_pallas(
         patch_plans[i] = (c, segs, nks, offs, patch_ivs)
     _stage("plan", t0)
 
-    # batch the clean entries by size; dispatch every batch (fast AND
-    # general) before syncing any — uploads and compute pipeline on the
-    # device stream while the host hashes junction patches.  Batches are
-    # balanced to ~equal size (instead of greedy-filling to the cap): a
-    # tiny tail batch would fall below the device layout minimum and take
-    # the host path record by record.
+    # HOST/DEVICE split: the host's native sketcher (ncpu-1 threads) takes
+    # a tail share of the entries sized by the rates OBSERVED on earlier
+    # calls in this process (first call: all-device, which measures the
+    # device-side rate; CLI runs sketch several assemblies and bench runs
+    # several trials, so the split converges immediately after).  Over a
+    # relay-attached link the device path is transfer-bound (~0.16 Gbp/s
+    # here) and the host contributes its full rate in parallel; on a
+    # locally attached chip dev_gbps is huge and the share rounds to ~0.
     total_sz = sum(int(e[2].shape[0]) + sep + 3 for e in entries)
+    steal_env = os.environ.get("NTJOIN_TPU_HOST_STEAL", "on")
+    host_threads = max(1, (os.cpu_count() or 2) - 1)
+    host_share = 0.0
+    if steal_env == "force":
+        host_share = 0.8  # deterministic stolen-merge coverage (tests)
+    elif (
+        steal_env != "off"
+        and _RATE_STATE["dev_gbps"]
+        # a relay-attached link's transfer machinery saturates ~1 core; on
+        # a 2-core box the "spare" host cycles are an illusion (measured:
+        # host share ran at 0.024 Gbp/s and slowed the stream too).  The
+        # hybrid only pays when real spare cores exist.
+        and (os.cpu_count() or 2) >= 4
+    ):
+        hg = _RATE_STATE["host_gbps"] or 0.03 * host_threads
+        host_share = min(0.45, hg / (hg + _RATE_STATE["dev_gbps"]))
+    host_ents: list[tuple[int, int, np.ndarray]] = []
+    host_sz = 0
+    if host_share > 0.02 and len(entries) > 1:
+        budget = host_share * total_sz
+        while len(entries) > 1:
+            sz = int(entries[-1][2].shape[0]) + sep + 3
+            if host_sz + sz > budget * 1.25:
+                break
+            host_ents.append(entries.pop())
+            host_sz += sz
+            if host_sz >= budget:
+                break
+    total_sz -= host_sz
+
+    # batch the remaining (device) entries by size; dispatch every batch
+    # (fast AND general) before syncing any — uploads and compute pipeline
+    # on the device stream while the host hashes junction patches and
+    # sketches its share.  Batches are balanced to ~equal size (instead of
+    # greedy-filling to the cap): a tiny tail batch would fall below the
+    # device layout minimum and take the host path record by record.
     n_batches = max(1, -(-total_sz // safe))
     target = -(-total_sz // n_batches)
     batches: list[list[tuple[int, int, np.ndarray]]] = []
@@ -2233,6 +2276,10 @@ def sketch_records_pallas(
         if curg:
             gb.append(curg)
 
+    # dispatch every device batch up front — uploads and compute pipeline
+    # back-to-back on the stream — then do the host-side work (junction
+    # patches + the host share) while it drains
+    t_disp0 = _time.monotonic()
     states = [
         _start_batch([e[2] for e in b], k, w, True, interpret)
         for b in batches
@@ -2250,6 +2297,25 @@ def sketch_records_pallas(
         patches[i] = _patch_emissions(c, k, w, segs, nks, offs, patch_ivs)
     _stage("patch", t0)
 
+    # the host share, sketched concurrently with the device stream
+    stolen: dict[tuple[int, int], Sketch] = {}
+    if host_ents:
+        t0 = _time.monotonic()
+        from ntjoin_tpu.io.native import available, sketch_codes_native
+
+        use_native = available()
+        for orig, base, c in host_ents:
+            if use_native:
+                stolen[(orig, base)] = sketch_codes_native(
+                    c, k, w, threads=host_threads
+                )
+            else:
+                stolen[(orig, base)] = _host_sketch(c, k, w)
+        host_wall = _time.monotonic() - t0
+        if host_wall > 0.05:
+            _RATE_STATE["host_gbps"] = host_sz / host_wall / 1e9
+        _stage("steal", t0)
+
     # per-batch interleaved sync -> resolve -> fetch -> post: batch j's
     # result download overlaps batches j+1..'s uploads/compute on the
     # stream (the per-batch scalar sync is one ~5 ms round-trip; a
@@ -2259,10 +2325,18 @@ def sketch_records_pallas(
         [np.asarray(codes_list[i]) for i in b] for b in gb
     ]
     piece_sketches: dict[int, list[tuple[int, Sketch]]] = {}
+    for (orig, base), sk in stolen.items():
+        piece_sketches.setdefault(orig, []).append((base, sk))
     for j, (st, rl) in enumerate(zip(states, rec_lists)):
         meta = _batch_meta_one(st)
         res = _resolve_batch(st, rl, k, w, j < n_fast, interpret, meta)
         sketches = _post_batch(res, rl, k, w)
+        if j == n_fast - 1 and total_sz > (64 << 20) and not interpret:
+            # effective device-path rate (dispatch -> last fast batch
+            # resolved+fetched) drives the next call's host/device split
+            _RATE_STATE["dev_gbps"] = (
+                total_sz / max(_time.monotonic() - t_disp0, 1e-3) / 1e9
+            )
         if j < n_fast:
             for (orig, base, _), sk in zip(batches[j], sketches):
                 piece_sketches.setdefault(orig, []).append((base, sk))

@@ -418,3 +418,30 @@ def test_batched_int32_guard_routes_giant_record_to_host(monkeypatch):
     assert out[1] == "HOST_SENTINEL" and calls == [giant.shape[0]]
     ref = sketch_codes(small, 15, 10)
     assert out[0].positions.tolist() == ref.positions.tolist()
+
+
+def test_host_steal_parity(monkeypatch):
+    """Host work-stealing (tail entries sketched by the native/host
+    sketcher while the device stream is busy) must be result-invisible:
+    forcing maximal stealing across many small batches — including
+    segmented N-rich records whose pieces then mix device and stolen
+    sketches — reproduces the oracle bit-for-bit."""
+    import ntjoin_tpu.ops.sketch_pallas as sp
+
+    rng = np.random.default_rng(71)
+    records = []
+    for ln in [40_000, 35_000, 42_000, 38_000, 36_000]:
+        codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+        records.append(codes)
+    records[1][5_000:5_300] = 4  # segmented record: device + stolen pieces
+    records[3][20_000:20_040] = 4
+    monkeypatch.setenv("NTJOIN_TPU_BATCH_BASES", "40000")  # many batches
+    monkeypatch.setenv("NTJOIN_TPU_HOST_STEAL", "force")
+    got = sp.sketch_records_pallas(records, 15, 10, interpret=True)
+    monkeypatch.setenv("NTJOIN_TPU_HOST_STEAL", "off")
+    ref = sp.sketch_records_pallas(records, 15, 10, interpret=True)
+    for sk, rk, codes in zip(got, ref, records):
+        oracle = sketch_codes(codes, 15, 10)
+        assert sk.positions.tolist() == oracle.positions.tolist()
+        assert sk.hashes.tolist() == oracle.hashes.tolist()
+        assert rk.positions.tolist() == oracle.positions.tolist()
