@@ -315,7 +315,13 @@ int64_t nj_walk_chain(const int32_t* n1, const int32_t* n2,
 
 // Write a samtools-faidx-format .fai index for a FASTA file.  Columns:
 // name, length, byte offset of first base, bases per line, bytes per line.
-// Returns the number of records indexed, or -1 on IO error.
+// Records whose sequence lines are NOT uniform (every line but the last must
+// have exactly linebases bases / linewidth bytes, no interior blank lines —
+// the same rule samtools faidx enforces by erroring out) are written with
+// linebases=linewidth=0 as a deterministic "ragged" sentinel: byte-offset
+// slicing is impossible for them and FastaStore materialises those records
+// from the raw bytes instead.  Returns the number of records indexed, or -1
+// on IO error.
 int64_t nj_write_fai(const char* path, const char* out_path) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
@@ -325,13 +331,16 @@ int64_t nj_write_fai(const char* path, const char* out_path) {
   std::string carry;
   std::string name;
   int64_t length = 0, offset = 0, linebases = 0, linewidth = 0;
-  bool have = false, first_line = true;
+  int64_t prev_stripped = 0, prev_raw = 0;
+  bool have = false, first_line = true, uniform = true, saw_blank = false;
   int64_t pos = 0, count = 0;
   auto flush_record = [&]() {
     if (have) {
+      int64_t lb = uniform ? linebases : 0;
+      int64_t lw = uniform ? linewidth : 0;
       fprintf(out, "%s\t%lld\t%lld\t%lld\t%lld\n", name.c_str(),
-              (long long)length, (long long)offset, (long long)linebases,
-              (long long)linewidth);
+              (long long)length, (long long)offset, (long long)lb,
+              (long long)lw);
       ++count;
     }
   };
@@ -350,13 +359,26 @@ int64_t nj_write_fai(const char* path, const char* out_path) {
       length = 0;
       offset = pos + raw_len;
       first_line = true;
+      uniform = true;
+      saw_blank = false;
     } else if (have && stripped > 0) {
       if (first_line) {
         linebases = stripped;
         linewidth = raw_len;
         first_line = false;
+        if (saw_blank) uniform = false;  // blank line shifted `offset`
+      } else {
+        // The previous sequence line was not the record's last, so it must
+        // have been full-width; a blank line before any further bases also
+        // breaks offset arithmetic.
+        if (prev_stripped != linebases || prev_raw != linewidth || saw_blank)
+          uniform = false;
       }
+      prev_stripped = stripped;
+      prev_raw = raw_len;
       length += stripped;
+    } else if (have && stripped == 0) {
+      saw_blank = true;
     }
     pos += raw_len;
   };

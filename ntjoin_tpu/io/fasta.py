@@ -102,6 +102,7 @@ class FastaStore:
     """
 
     def __init__(self, path: str):
+        self._path = path
         self._mm = None
         self._records: dict[str, FastaRecord] | None = None
         self._fai: dict[str, tuple[int, int, int, int]] = {}
@@ -126,6 +127,29 @@ class FastaStore:
                 )
         self._fh = open(path, "rb")
         self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        # Ragged records (non-uniform sequence line widths — the writer marks
+        # them linewidth=0; a pre-existing stale .fai is additionally
+        # spot-checked below) cannot be sliced by byte arithmetic, so they are
+        # materialised whole from the raw bytes on first access.
+        self._ragged: dict[str, str | None] = {}
+        size = len(self._mm)
+        for i, name in enumerate(self._order):
+            length, offset, lb, lw = self._fai[name]
+            if lw == 0 and length > 0:
+                self._ragged[name] = None
+                continue
+            if length == 0:
+                continue
+            # Cheap validation for indexes we did not just write: the byte
+            # just past the record's last base must be a newline (or EOF),
+            # and the byte before the first base must end the header line.
+            # A ragged record's predicted end lands mid-line on a base.
+            nlines = -(-length // lb) if lb else 1
+            end = offset + (nlines - 1) * lw + (length - (nlines - 1) * lb)
+            if (offset > 0 and self._mm[offset - 1 : offset] != b"\n") or (
+                end < size and self._mm[end : end + 1] not in (b"\n", b"\r")
+            ):
+                self._ragged[name] = None
 
     def names(self) -> list[str]:
         return list(self._order)
@@ -147,9 +171,35 @@ class FastaStore:
         end = max(start, min(end, length))
         if end == start:
             return ""
+        if name in self._ragged:
+            return self._materialize(name)[start:end]
         b0 = offset + (start // lb) * lw + start % lb
         b1 = offset + ((end - 1) // lb) * lw + (end - 1) % lb + 1
         return self._mm[b0:b1].translate(None, b"\r\n").decode()
+
+    def _materialize(self, name: str) -> str:
+        """Whole sequence of a ragged record, decoded from the raw bytes.
+
+        The record's data spans from just past its header line (`offset`) to
+        the start of the next record's header (or EOF); stripping newlines
+        recovers the sequence regardless of line-width irregularities.
+        """
+        seq = self._ragged[name]
+        if seq is None:
+            idx = self._order.index(name)
+            start = self._fai[name][1]
+            if idx + 1 < len(self._order):
+                nxt = self._fai[self._order[idx + 1]][1]
+                stop = self._mm.rfind(b"\n>", start, nxt) + 1
+                if stop <= 0:
+                    stop = nxt  # malformed; better long than truncated
+            else:
+                stop = len(self._mm)
+            seq = self._mm[start:stop].translate(None, b"\r\n").decode()
+            if len(seq) != self._fai[name][0]:  # defensive: full reparse
+                seq = read_fasta_dict(self._path)[name].seq
+            self._ragged[name] = seq
+        return seq
 
     def close(self) -> None:
         if self._mm is not None:
@@ -180,27 +230,57 @@ def write_fai(path: str, out_path: str | None = None) -> str:
         offset = 0
         linebases = 0
         linewidth = 0
+        prev_stripped = 0
+        prev_raw = 0
         first_line = True
+        uniform = True
+        saw_blank = False
         pos = 0
+
+        def _flush():
+            lb = linebases if uniform else 0
+            lw = linewidth if uniform else 0
+            rows.append((name, length, offset, lb, lw))
+
         for raw in fh:
             line_len = len(raw)
             stripped = raw.rstrip(b"\r\n")
             if stripped.startswith(b">"):
                 if name is not None:
-                    rows.append((name, length, offset, linebases, linewidth))
+                    _flush()
                 name = stripped[1:].split()[0].decode()
                 length = 0
                 offset = pos + line_len
                 first_line = True
+                uniform = True
+                saw_blank = False
             elif name is not None and stripped:
                 if first_line:
                     linebases = len(stripped)
                     linewidth = line_len
                     first_line = False
+                    if saw_blank:  # blank line shifted `offset`
+                        uniform = False
+                elif (
+                    prev_stripped != linebases
+                    or prev_raw != linewidth
+                    or saw_blank
+                ):
+                    # The previous sequence line was not the record's last,
+                    # so it must have been full-width (the rule samtools
+                    # faidx enforces by erroring out); interior blank lines
+                    # break the offset arithmetic too.  Such records get the
+                    # linebases=linewidth=0 "ragged" sentinel and FastaStore
+                    # materialises them from the raw bytes.
+                    uniform = False
+                prev_stripped = len(stripped)
+                prev_raw = line_len
                 length += len(stripped)
+            elif name is not None:
+                saw_blank = True
             pos += line_len
         if name is not None:
-            rows.append((name, length, offset, linebases, linewidth))
+            _flush()
     with open(out_path, "w", encoding="utf-8") as out:
         for row in rows:
             out.write("\t".join(str(x) for x in row) + "\n")

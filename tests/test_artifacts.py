@@ -121,3 +121,90 @@ def test_fasta_store_subseq(tmp_path):
     # sanity: both agree with the eager reader
     recs = read_fasta_dict(str(fa))
     assert {n: r.seq for n, r in recs.items()} == seqs
+
+
+def test_fasta_store_ragged_lines(tmp_path):
+    """Non-uniform sequence line widths must not corrupt subseq slices.
+
+    samtools faidx refuses to index such files; the reference's btllib
+    SeqReader reads them fine, so the framework must too: the fai writer
+    marks ragged records with a linebases=linewidth=0 sentinel and
+    FastaStore materialises them from the raw bytes instead of doing
+    byte-offset arithmetic (round-4 advisor finding)."""
+    from ntjoin_tpu.io.fasta import FastaStore, write_fai
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    seqs = {
+        "uniform": "".join("ACGT"[i] for i in rng.integers(0, 4, 200)),
+        "ragged": "".join("ACGT"[i] for i in rng.integers(0, 4, 311)),
+        "blanky": "".join("ACGT"[i] for i in rng.integers(0, 4, 90)),
+        "tail": "".join("ACGT"[i] for i in rng.integers(0, 4, 73)),
+    }
+    fa = tmp_path / "ragged.fa"
+    with open(fa, "w") as fh:
+        fh.write(">uniform\n")
+        for i in range(0, 200, 60):
+            fh.write(seqs["uniform"][i : i + 60] + "\n")
+        fh.write(">ragged desc\n")
+        # widths 50, 70, 50, ... — first-line-based arithmetic lands mid-line
+        cuts = [0, 50, 120, 170, 240, 311]
+        for a, b in zip(cuts, cuts[1:]):
+            fh.write(seqs["ragged"][a:b] + "\n")
+        fh.write(">blanky\n")
+        fh.write(seqs["blanky"][:45] + "\n\n")  # interior blank line
+        fh.write(seqs["blanky"][45:] + "\n")
+        fh.write(">tail\n")
+        fh.write(seqs["tail"] + "\n")
+
+    # both fai writers (native + python) must agree on the sentinel
+    from ntjoin_tpu.io import native as _native
+
+    write_fai(str(fa), str(tmp_path / "native.fai"))
+    rows_n = (tmp_path / "native.fai").read_text().splitlines()
+    if _native.available():
+        # force the pure-python scan for comparison
+        import ntjoin_tpu.io.fasta as fasta_mod
+
+        orig = _native._load
+        try:
+            _native._load = lambda: None
+            fasta_mod.write_fai(str(fa), str(tmp_path / "py.fai"))
+        finally:
+            _native._load = orig
+        assert (tmp_path / "py.fai").read_text().splitlines() == rows_n
+    got = {r.split("\t")[0]: r.split("\t") for r in rows_n}
+    assert got["uniform"][3:5] == ["60", "61"]
+    assert got["ragged"][3:5] == ["0", "0"]
+    assert got["blanky"][3:5] == ["0", "0"]
+    assert got["tail"][1] == "73"
+
+    store = FastaStore(str(fa))
+    for name, seq in seqs.items():
+        assert store.length(name) == len(seq), name
+        assert store.subseq(name, 0, len(seq)) == seq, name
+        for s, e in [(0, 1), (49, 51), (45, 130), (3, len(seq)),
+                     (len(seq) - 1, len(seq))]:
+            assert store.subseq(name, s, e) == seq[s:e], (name, s, e)
+    store.close()
+
+    # Stale .fai written by offset arithmetic that doesn't match the file
+    # (e.g. an index from before the file was edited ragged but same mtime):
+    # the load-time spot check must catch it.
+    bad = tmp_path / "bad.fa"
+    with open(bad, "w") as fh:
+        fh.write(">r\n")
+        fh.write(seqs["ragged"][:50] + "\n" + seqs["ragged"][50:120] + "\n")
+        fh.write(seqs["ragged"][120:170] + "\n")
+    with open(str(bad) + ".fai", "w") as fh:
+        fh.write("r\t170\t3\t50\t51\n")  # claims uniform 50-wide lines
+    import os as _os
+    import time as _time
+
+    now = _time.time() + 5
+    _os.utime(str(bad) + ".fai", (now, now))
+    store2 = FastaStore(str(bad))
+    assert store2.subseq("r", 0, 170) == seqs["ragged"][:170]
+    assert store2.subseq("r", 60, 100) == seqs["ragged"][60:100]
+    store2.close()
