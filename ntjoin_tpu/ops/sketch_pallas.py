@@ -1984,7 +1984,13 @@ def _batch_meta_one(st) -> np.ndarray | None:
     if st["use_fast"]:
         count, flag = o[3], o[5]
         seg = jnp.zeros((), _I32)
-        runmax = jnp.max(o[6] & _I32(0xFFFF))
+        # run is None when the fused sketch took its exact non-slot path
+        # (w with no viable scan tile, _pick_tr(w)==0): emissions are
+        # uncompressed, so the max run count is trivially <= 1
+        runmax = (
+            jnp.max(o[6] & _I32(0xFFFF)) if o[6] is not None
+            else jnp.zeros((), _I32)
+        )
     else:
         count, seg, flag = o[3], o[5], o[6]
         runmax = jnp.zeros((), _I32)

@@ -445,3 +445,32 @@ def test_host_steal_parity(monkeypatch):
         assert sk.positions.tolist() == oracle.positions.tolist()
         assert sk.hashes.tolist() == oracle.hashes.tolist()
         assert rk.positions.tolist() == oracle.positions.tolist()
+
+
+def test_batch_meta_no_run_column():
+    """w with no viable scan tile (_pick_tr(w)==0, e.g. w=1026) makes
+    _sketch_fused take its exact non-slot path and return run=None; the
+    batch meta sync must not crash on the missing run column (round-4
+    advisor finding: uncaught TypeError in _batch_meta_one)."""
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.ops import sketch_pallas as sp
+
+    assert sp._pick_tr(1026) == 0
+    one = jnp.asarray(1, jnp.int32)
+    out = (None, None, None, jnp.asarray(7, jnp.int32), None, one, None)
+    meta = sp._batch_meta_one({"out": out, "use_fast": True})
+    assert meta.tolist() == [7, 1, 0, 0]
+
+
+def test_batched_records_no_tile_w_parity():
+    """Batched sketch at a tile-less w (w=1026) matches the oracle
+    whichever path (device non-slot or host fallback) serves it."""
+    from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+    rng = np.random.default_rng(5)
+    rec = rng.integers(0, 4, size=2_200_000).astype(np.uint8)
+    got = sketch_records_pallas([rec], 32, 1026, interpret=False)
+    ref = sketch_codes(rec, 32, 1026)
+    assert got[0].positions.tolist() == ref.positions.tolist()
+    assert got[0].hashes.tolist() == ref.hashes.tolist()
