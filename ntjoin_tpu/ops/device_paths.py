@@ -87,6 +87,26 @@ def escalate_filter_device(graph, comp: np.ndarray, n_min: float,
     edges below the escalating threshold incident to a branch node of a
     not-yet-linear component die, one threshold step per iteration.
     """
+    # The kernel compares weights/thresholds in float32 while the host pass
+    # compares float64: a weight not exactly representable in f32 (e.g.
+    # reference_weights='0.1 0.3') could flip a `weight < threshold`
+    # verdict.  Same exactness discipline as build_graph_device's nibble
+    # saturation guard: if anything fails to round-trip f64 -> f32 (or the
+    # +1.0 threshold walk would leave the f32-exact integer range), raise —
+    # the caller falls back to the bit-exact host pass.
+    w64 = np.asarray(graph.weight, dtype=np.float64)
+    exact = (
+        abs(float(n_min)) <= 2.0**23  # +1.0 walk stays f32-exact, incl. x.5
+        and abs(float(max_weight)) <= 2.0**23
+        and float(np.float32(n_min)) == float(n_min)
+        and float(np.float32(max_weight)) == float(max_weight)
+        and bool(np.all(w64.astype(np.float32).astype(np.float64) == w64))
+    )
+    if not exact:
+        raise ValueError(
+            "edge weights/threshold not exactly representable in float32; "
+            "host escalating filter required for bit-exact results"
+        )
     m = graph.src.shape[0]
     cap = _bucket(max(m, 1))
     pad = cap - m

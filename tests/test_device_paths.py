@@ -110,3 +110,67 @@ def test_find_paths_device_matches_host(seed):
     for (hp, _), (dp, _) in zip(host_paths, dev_paths):
         assert dp == hp
     assert (g_dev.alive == g_host.alive).all()
+
+
+def test_escalate_filter_fractional_weights():
+    """Fractional weights that don't round-trip f64->f32 must NOT be
+    compared in f32 on device (round-4 verdict): the device pass raises
+    (caller falls back to the host filter), while f32-exact fractional
+    weights still run on device bit-equal to the host."""
+    from ntjoin_tpu.graph.paths import escalating_branch_filter
+    from ntjoin_tpu.ops.device_paths import escalate_filter_device
+
+    rng = np.random.default_rng(9)
+    g = _random_graph(rng, 300, 520)
+
+    # 0.1 + 0.3 style sums are not f32-exact -> refuse
+    g_bad = copy.deepcopy(g)
+    g_bad.weight = g_bad.weight * 0.1
+    with pytest.raises(ValueError):
+        escalate_filter_device(g_bad, g_bad.components(), 1.0, 0.5)
+
+    # 0.25 / 0.5 style weights round-trip exactly -> device == host
+    g_host = copy.deepcopy(g)
+    g_host.weight = g_host.weight * 0.25
+    g_dev = copy.deepcopy(g_host)
+    comp = g_host.components()
+    n_min, max_w = 0.5, float(g_host.weight.max())
+    escalating_branch_filter(g_host, comp, n_min, max_w)
+    alive_dev = escalate_filter_device(g_dev, comp, n_min, max_w)
+    assert (alive_dev == g_host.alive).all()
+
+
+def test_find_paths_device_fractional_weight_fallback(monkeypatch):
+    """find_paths(device=True) with non-f32-exact weights silently takes
+    the host filter and still matches find_paths(device=False)."""
+    from ntjoin_tpu.graph import paths as paths_mod
+
+    called = {"device": 0}
+    import ntjoin_tpu.ops.device_paths as dp
+
+    orig = dp.escalate_filter_device
+
+    def spy(*a, **kw):
+        called["device"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(dp, "escalate_filter_device", spy)
+
+    rng = np.random.default_rng(12)
+    g = _random_graph(rng, 200, 340)
+    g.weight = g.weight * 0.1  # not f32-exact
+
+    class _Asm:
+        def __init__(self, w):
+            self.weight = w
+
+    class _Shared:
+        assemblies = [_Asm(0.1), _Asm(0.3)]
+
+    g_host = copy.deepcopy(g)
+    g_dev = copy.deepcopy(g)
+    res_host = paths_mod.find_paths(g_host, _Shared(), 0.1, device=False)
+    res_dev = paths_mod.find_paths(g_dev, _Shared(), 0.1, device=True)
+    assert called["device"] == 1  # attempted, refused via ValueError
+    assert (g_host.alive == g_dev.alive).all()
+    assert repr(res_host) == repr(res_dev)

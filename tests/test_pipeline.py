@@ -377,3 +377,45 @@ def test_device_index_byte_equal(workdir, ref, target, extra):
     for suffix, want in host_art.items():
         got = (workdir / ("devidx" + suffix)).read_text()
         assert got == want.replace("hostidx", "devidx"), f"{suffix} differs"
+
+
+def test_device_index_fractional_weights_byte_equal(workdir):
+    """reference_weights='0.1 0.3' (not f32-exact): the device escalating
+    filter must refuse f32 comparison and fall back to the host pass, so
+    index_backend=device stays byte-equal to host (round-4 verdict item 3;
+    reference filter semantics /root/reference/bin/ntjoin.py:70-78)."""
+    base_args = (
+        "target=scaf.f-f.fa", "target_weight=1",
+        "references=ref.fa scaf.f-f.copy.fa", "reference_weights=2.3 0.1",
+        "k=32", "w=1000", "n=1", "overlap=False",
+    )
+    _run_with_index(workdir, "fw_host", "host", *base_args)
+    host_path = (workdir / "fw_host.path").read_text()
+    host_dot = (workdir / "fw_host.mx.dot").read_text()
+    assert "ntJoin0" in host_path  # the run actually scaffolds
+    _run_with_index(workdir, "fw_dev", "device", *base_args)
+    assert (workdir / "fw_dev.path").read_text() == host_path.replace(
+        "fw_host", "fw_dev"
+    )
+    assert (workdir / "fw_dev.mx.dot").read_text() == host_dot.replace(
+        "fw_host", "fw_dev"
+    )
+
+
+def test_backend_jax_device_index_e2e(workdir):
+    """Full device-routed CI path: backend=jax sketch + index_backend=device
+    graph passes (sketch through device index/CC/paths) on the golden f-f
+    fixture — byte contract of reference tests/ntjoin_test.py:81-111
+    (round-4 verdict item 9)."""
+    cmd = [sys.executable, "-m", "ntjoin_tpu.cli", "assemble", "-B",
+           "backend=jax", "index_backend=device", "target=scaf.f-f.fa",
+           "target_weight=1", "references=ref.fa", "reference_weights=2",
+           "prefix=jaxdev", "k=32", "w=1000", "n=2", "overlap=False"]
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True,
+                         text=True)
+    assert res.returncode == 0, res.stderr + res.stdout
+    lines = [ln.strip() for ln in
+             (workdir / "jaxdev.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
