@@ -426,7 +426,9 @@ def assemble(words: list[str]) -> int:
         Scaffolder(cfg, sketch_cache=cache).run()
 
     base = f"{v['target']}.k{k}.w{w}.n{n}"
-    with open(f"{base}.all.scaffolds.fa", "w", encoding="utf-8") as out:
+    from ntjoin_tpu.utils.atomic import atomic_write
+
+    with atomic_write(f"{base}.all.scaffolds.fa") as out:
         for part in (f"{base}.assigned.scaffolds.fa", f"{base}.unassigned.scaffolds.fa"):
             if os.path.exists(part):
                 with open(part, encoding="utf-8") as fh:

@@ -282,7 +282,9 @@ class Scaffolder:
         cfg = self.cfg
         seg_path = cfg.prefix + ".segments.fa"
         trim_jobs = []
-        with open(seg_path, "w", encoding="utf-8") as seg_file:
+        from ntjoin_tpu.utils.atomic import atomic_write
+
+        with atomic_write(seg_path) as seg_file:
             for path in paths:
                 nodes = [n for n in path if n.ori != "?"]
                 if len(nodes) < 2:
@@ -336,10 +338,20 @@ class Scaffolder:
 
         incorporated_list: list[Bed] = []
         ct = 0
-        agp_file = open(cfg.prefix + ".agp", "w", encoding="utf-8") if cfg.agp else None
-        with open(assigned_path, "w", encoding="utf-8") as outfile, open(
-            cfg.prefix + ".path", "w", encoding="utf-8"
-        ) as pathfile:
+        # tmp+rename (utils/atomic): a crash mid-emission must not leave
+        # fresh-mtimed partial artifacts (reference .DELETE_ON_ERROR parity)
+        import contextlib
+
+        from ntjoin_tpu.utils.atomic import atomic_write
+
+        with contextlib.ExitStack() as stack:
+            agp_file = (
+                stack.enter_context(atomic_write(cfg.prefix + ".agp"))
+                if cfg.agp
+                else None
+            )
+            outfile = stack.enter_context(atomic_write(assigned_path))
+            pathfile = stack.enter_context(atomic_write(cfg.prefix + ".path"))
             pathfile.write(self.assembly_fa + "\n")
             for path in paths:
                 nodes = [n for n in path if n.ori != "?"]
@@ -380,8 +392,6 @@ class Scaffolder:
                     write_agp_path(agp_file, ctg_id, path_str)
                 ct += 1
             self._emit_unassigned(incorporated_list, agp_file)
-        if agp_file:
-            agp_file.close()
 
     # -- unassigned leftovers (ref print_unassigned :628-658) -------------
 
@@ -395,7 +405,9 @@ class Scaffolder:
         out_path = (
             f"{self.assembly_fa}{self.params}.n{cfg.n}.unassigned.scaffolds.fa"
         )
-        with open(out_path, "w", encoding="utf-8") as out:
+        from ntjoin_tpu.utils.atomic import atomic_write
+
+        with atomic_write(out_path) as out:
             for bed in missing:
                 header = f"{bed.contig}:{bed.start}-{bed.end}"
                 seq = self.scaffolds.subseq(bed.contig, bed.start, bed.end)

@@ -12,6 +12,7 @@ from typing import TextIO
 import numpy as np
 
 from ntjoin_tpu.core.pathnode import Bed
+from ntjoin_tpu.utils.atomic import atomic_path, atomic_write
 
 _CONTIG_RE = re.compile(r"(\S+)([\+\-])\:(\d+)-(\d+)")
 _GAP_RE = re.compile(r"(\d+)N")
@@ -91,7 +92,7 @@ def write_dot(out_path: str, graph, shared) -> None:
         colours = ["red"] * len(assemblies)
 
     if shared.num_nodes == 0:
-        with open(out_path, "w", encoding="utf-8") as out:
+        with atomic_write(out_path) as out:
             out.write("graph G {\n}\n")
         return
 
@@ -136,7 +137,7 @@ def write_dot(out_path: str, graph, shared) -> None:
         add(add(w_str, " color="), add(c_str, "]\n")),
     )
 
-    with open(out_path, "w", encoding="utf-8") as out:
+    with atomic_write(out_path) as out:
         out.write("graph G {\n")
         out.write("".join(node_lines.tolist()))
         out.write("".join(edge_lines.tolist()))
@@ -193,15 +194,24 @@ def _write_dot_native(out_path: str, graph, shared, colours) -> bool:
     dst = np.ascontiguousarray(graph.dst[alive], dtype=np.int32)
     w_inv = np.ascontiguousarray(w_inv, dtype=np.int32)
     m_inv = np.ascontiguousarray(m_inv, dtype=np.int32)
+    import contextlib
+    import os
+
+    tmp = f"{out_path}.tmp.{os.getpid()}"
     got = lib.nj_write_dot(
-        out_path.encode(), shared.num_nodes, node_hash.ctypes.data,
+        tmp.encode(), shared.num_nodes, node_hash.ctypes.data,
         len(assemblies), p_blob, p_off.ctypes.data, base.ctypes.data,
         ctg.ctypes.data, pos.ctypes.data,
         alive.shape[0], src.ctypes.data, dst.ctypes.data,
         w_inv.ctypes.data, w_blob, w_off.ctypes.data,
         m_inv.ctypes.data, c_blob, c_off.ctypes.data,
     )
-    return got == shared.num_nodes + alive.shape[0]
+    if got != shared.num_nodes + alive.shape[0]:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        return False  # python writer takes over
+    os.replace(tmp, out_path)
+    return True
 
 
 def dot_colour_legend(assemblies) -> str:
@@ -220,7 +230,7 @@ def write_minimizer_tsv(
     out_path: str, records, sketches: list, k: int, with_seq: bool = True
 ) -> None:
     """indexlr-format TSV: ``id\\thash:pos[:seq] ...`` one line per record."""
-    with open(out_path, "w", encoding="utf-8") as out:
+    with atomic_write(out_path) as out:
         for rec, sk in zip(records, sketches):
             toks = []
             for h, p in zip(sk.hashes.tolist(), sk.positions.tolist()):
@@ -232,6 +242,6 @@ def write_minimizer_tsv(
 
 
 def write_bed(out_path: str, beds: list[Bed]) -> None:
-    with open(out_path, "w", encoding="utf-8") as out:
+    with atomic_write(out_path) as out:
         for b in beds:
             out.write(f"{b.contig}\t{b.start}\t{b.end}\n")

@@ -214,15 +214,23 @@ def write_fai(path: str, out_path: str | None = None) -> str:
     Columns: name, length, byte offset of first base, bases per line, bytes
     per line.  Only needed to mirror the reference's artifact set.
     """
+    from ntjoin_tpu.utils.atomic import atomic_write
+
     out_path = out_path or path + ".fai"
     if not path.endswith(".gz"):
         from ntjoin_tpu.io import native as _native
 
         lib = _native._load()
         if lib is not None:
-            got = lib.nj_write_fai(path.encode(), out_path.encode())
+            import contextlib
+
+            tmp = f"{out_path}.tmp.{os.getpid()}"
+            got = lib.nj_write_fai(path.encode(), tmp.encode())
             if got >= 0:
+                os.replace(tmp, out_path)
                 return out_path
+            with contextlib.suppress(OSError):  # python writer takes over
+                os.unlink(tmp)
     rows = []
     with open(path, "rb") as fh:
         name = None
@@ -281,7 +289,7 @@ def write_fai(path: str, out_path: str | None = None) -> str:
             pos += line_len
         if name is not None:
             _flush()
-    with open(out_path, "w", encoding="utf-8") as out:
+    with atomic_write(out_path) as out:
         for row in rows:
             out.write("\t".join(str(x) for x in row) + "\n")
     return out_path

@@ -3,6 +3,7 @@ import os
 import shutil
 import subprocess
 import sys
+import pytest
 
 REF = "/root/reference/tests"
 GOLDEN = f"{REF}/expected_outputs"
@@ -208,3 +209,44 @@ def test_fasta_store_ragged_lines(tmp_path):
     assert store2.subseq("r", 0, 170) == seqs["ragged"][:170]
     assert store2.subseq("r", 60, 100) == seqs["ragged"][60:100]
     store2.close()
+
+
+def test_atomic_artifact_writes(tmp_path, monkeypatch):
+    """Crash-safe artifacts (reference .DELETE_ON_ERROR parity,
+    ntJoin:201): a run dying mid-TSV-write must leave NO fresh-mtimed
+    partial sketch for the next run's timestamp reuse to trust, and the
+    next run must re-sketch and succeed."""
+    import ntjoin_tpu.cli as cli
+    from ntjoin_tpu.utils.atomic import atomic_write
+
+    for f in ["ref.fa", "scaf.f-f.fa"]:
+        shutil.copy(f"{REF}/{f}", tmp_path / f)
+    monkeypatch.chdir(tmp_path)
+
+    real_writer = cli.write_minimizer_tsv
+    wrote = {"n": 0}
+
+    def dying_writer(out_path, records, sketches, k, with_seq=True):
+        wrote["n"] += 1
+        with atomic_write(out_path) as out:
+            out.write("scaf\t123:45:ACGT")  # partial, no trailing newline
+            raise RuntimeError("simulated crash mid-write")
+
+    args = ["backend=numpy", "target=scaf.f-f.fa", "target_weight=1",
+            "references=ref.fa", "reference_weights=2", "prefix=atomic",
+            "k=32", "w=1000", "n=2", "overlap=False"]
+    monkeypatch.setattr(cli, "write_minimizer_tsv", dying_writer)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cli.assemble(list(args))
+    assert wrote["n"] == 1
+    # neither the artifact nor any temp litter survives the crash
+    assert not list(tmp_path.glob("*.tsv"))
+    assert not list(tmp_path.glob("*.tmp.*"))
+
+    # next run re-sketches (stale-artifact reuse finds nothing) and works
+    monkeypatch.setattr(cli, "write_minimizer_tsv", real_writer)
+    assert cli.assemble(list(args)) == 0
+    assert (tmp_path / "ref.fa.k32.w1000.tsv").exists()
+    lines = [ln for ln in (tmp_path / "atomic.path").read_text().splitlines()
+             if ln.startswith("ntJoin")]
+    assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
