@@ -163,7 +163,27 @@ def support_names(mask: int, assemblies) -> list[str]:
     return [a.name for i, a in enumerate(assemblies) if mask & (1 << i)]
 
 
-def extend_graph(base: MinimizerGraph, shared: SharedIndex) -> MinimizerGraph:
+def remove_flagged_edges(
+    graph: MinimizerGraph, edge_ids: np.ndarray | list[int]
+) -> MinimizerGraph:
+    """Copy of ``graph`` with the listed edges removed (dead).
+
+    Mirror of the reference's ``remove_flagged_edges``
+    (``ntjoin_utils.py:58-62``): the input graph is left untouched and a
+    pruned copy is returned.
+    """
+    import copy
+
+    out = copy.deepcopy(graph)
+    ids = np.asarray(edge_ids, dtype=np.int64)
+    if ids.size:
+        out.alive[ids] = False
+    return out
+
+
+def extend_graph(
+    base: MinimizerGraph, shared: SharedIndex, black_list=None
+) -> MinimizerGraph:
     """Incremental graph build: append new adjacency evidence to ``base``.
 
     Mirrors the reference's incremental ``build_graph`` mode used by sibling
@@ -172,9 +192,18 @@ def extend_graph(base: MinimizerGraph, shared: SharedIndex) -> MinimizerGraph:
     dropped again when either endpoint's total incident weight exceeds
     ``2 * sum(assembly weights)`` (``check_added_edges_incident_weights``,
     ``ntjoin_utils.py:70-80``).
+
+    ``black_list`` (iterable of minimizer hash values) mirrors the
+    reference's ``build_graph(..., black_list=...)`` pruning
+    (``ntjoin_utils.py:109-113``): blacklisted minimizers are barred from
+    entering the graph as NEW vertices, so fresh edges incident to a
+    blacklisted minimizer that the base graph does not already touch are
+    dropped.  (In the reference the un-added vertex makes those edges
+    unconstructable; here vertices are implicit array indices, so the
+    equivalent is dropping the edges directly.)
     """
     fresh = build_graph(shared)
-    if base.src.size == 0:
+    if base.src.size == 0 and black_list is None:
         return fresh
 
     def canon_keys(g):
@@ -185,6 +214,28 @@ def extend_graph(base: MinimizerGraph, shared: SharedIndex) -> MinimizerGraph:
     base_keys = np.sort(canon_keys(base))
     fresh_keys = canon_keys(fresh)
     is_new = ~np.isin(fresh_keys, base_keys)
+
+    if black_list is not None:
+        bl = np.fromiter(
+            (np.uint64(h) for h in black_list), dtype=np.uint64
+        )
+        node_black = np.isin(shared.node_hash, bl)
+        in_base = np.zeros(
+            max(base.num_nodes, fresh.num_nodes), dtype=bool
+        )
+        in_base[base.src] = True
+        in_base[base.dst] = True
+        blocked = node_black & ~in_base[: node_black.shape[0]]
+        is_new &= ~(blocked[fresh.src] | blocked[fresh.dst])
+        if base.src.size == 0:
+            keep = np.flatnonzero(is_new)
+            return MinimizerGraph(
+                fresh.num_nodes,
+                fresh.src[keep],
+                fresh.dst[keep],
+                fresh.weight[keep],
+                fresh.support_mask[keep],
+            )
 
     merged = MinimizerGraph(
         max(base.num_nodes, fresh.num_nodes),

@@ -126,6 +126,69 @@ class TestIncrementalGraph:
         # nothing new: same alive edge count
         assert g2.num_edges == g1.num_edges
 
+    def test_extend_black_list_prunes_new_vertices(self):
+        """black_list parity (reference ntjoin_utils.py:109-113 via
+        build_graph's incremental mode): blacklisted minimizers cannot
+        enter the graph as NEW vertices, so fresh edges touching them are
+        pruned — but edges to blacklisted minimizers ALREADY in the base
+        graph still extend it."""
+        from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
+        from ntjoin_tpu.graph.mingraph import build_graph, extend_graph
+
+        def asm(name, weight, hashes):
+            return AssemblySketch.from_stream(
+                name, weight, ["c"],
+                np.array(hashes, dtype=np.uint64),
+                np.arange(len(hashes), dtype=np.int64) * 100,
+                np.zeros(len(hashes), dtype=np.int32),
+            )
+
+        base_shared = SharedIndex(
+            [asm("a", 2.0, [11, 22]), asm("b", 1.0, [11, 22])]
+        )
+        g1 = build_graph(base_shared)
+        assert g1.num_edges == 1
+
+        # extended index introduces minimizers 33 (blacklisted, new) and
+        # 44 (clean, new); 22 is blacklisted but already in the base graph
+        ext_shared = SharedIndex(
+            [asm("a", 2.0, [11, 22, 33, 44]), asm("b", 1.0, [11, 22, 33, 44])]
+        )
+        g_nobl = extend_graph(g1, ext_shared)
+        assert g_nobl.num_edges == 3  # 11-22 (kept), 22-33, 33-44
+
+        g_bl = extend_graph(g1, ext_shared, black_list=[22, 33])
+        pairs = {
+            tuple(sorted((int(ext_shared.node_hash[s]),
+                          int(ext_shared.node_hash[t]))))
+            for s, t in zip(g_bl.src[g_bl.alive], g_bl.dst[g_bl.alive])
+        }
+        # 22-33 and 33-44 blocked (33 is a new blacklisted vertex);
+        # base 11-22 untouched (22 pre-exists in the base graph)
+        assert pairs == {(11, 22)}
+
+    def test_remove_flagged_edges(self):
+        """Mirror of reference remove_flagged_edges
+        (ntjoin_utils.py:58-62): prunes listed edges into a copy."""
+        from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
+        from ntjoin_tpu.graph.mingraph import build_graph, remove_flagged_edges
+
+        def asm(name, weight, hashes):
+            return AssemblySketch.from_stream(
+                name, weight, ["c"],
+                np.array(hashes, dtype=np.uint64),
+                np.arange(len(hashes), dtype=np.int64) * 100,
+                np.zeros(len(hashes), dtype=np.int32),
+            )
+
+        shared = SharedIndex(
+            [asm("a", 2.0, [5, 6, 7, 8]), asm("b", 1.0, [5, 6, 7, 8])]
+        )
+        g = build_graph(shared)
+        assert g.num_edges == 3
+        g2 = remove_flagged_edges(g, [1])
+        assert g2.num_edges == 2 and g.num_edges == 3  # copy semantics
+
 
 class TestBloom:
     def test_repeat_filter_hook(self, tmp_path):
