@@ -377,7 +377,16 @@ def assemble(words: list[str]) -> int:
     total_bases = 0
     for fa in [v["target"]] + v["references"].split():
         try:
-            total_bases += os.path.getsize(fa)
+            if fa.endswith(".gz"):
+                # uncompressed size from the gzip ISIZE trailer (mod 2^32,
+                # exact for <4 GiB members — FASTA gzips ~4x, so raw file
+                # size would undercount the routing input ~4x)
+                with open(fa, "rb") as fh:
+                    fh.seek(-4, os.SEEK_END)
+                    isize = int.from_bytes(fh.read(4), "little")
+                total_bases += isize or 4 * os.path.getsize(fa)
+            else:
+                total_bases += os.path.getsize(fa)
         except OSError:
             pass
     backend = _sketch_backend(v["backend"], total_bases=total_bases)
@@ -547,10 +556,63 @@ def quast(words: list[str]) -> int:
     return 0
 
 
+HELP_TEXT = """
+ntjoin-tpu: Scaffolding assemblies using reference assemblies and minimizer graphs
+{version}
+Usage: ntjoin-tpu assemble target=<target scaffolds> references='List of reference assemblies' reference_weights='List of weights per reference assembly'
+
+Options:
+target\t\t\tTarget assembly to be scaffolded in fasta format
+references\t\tList of reference files (separated by a space, in fasta format)
+target_weight\t\tWeight of target assembly [1]
+reference_weights\tList of weights of reference assemblies
+prefix\t\t\tPrefix of intermediate output files [out.k<k>.w<w>.n<n>]
+t\t\t\tNumber of threads [4]
+assemble_t\t\tNumber of threads for assembling stage [1]
+k\t\t\tK-mer size for minimizers [32]
+w\t\t\tWindow size for minimizers (bp) [1000]
+n\t\t\tMinimum graph edge weight [1]
+g\t\t\tMinimum gap size (bp) [20]
+G\t\t\tMaximum gap size (bp) (0 if no maximum) [0]
+m\t\t\tMinimum percentage of increasing/decreasing minimizer positions to orient contig [90]
+mkt\t\t\tIf True, use Mann-Kendall Test to predict contig orientation (computationally-intensive, overrides 'm') [False]
+agp\t\t\tIf True, output AGP file describing output scaffolds [False]
+no_cut\t\t    \tIf True, will not cut contigs at putative misassemblies [False]
+overlap\t\t\tIf True, attempts to detect and trim overlaps between joined sequences [True]
+overlap_g\t\tGap size between trimmed overlapping segments (used if overlap=True) [g]
+overlap_k\t\tK-mer size for overlap minimizers (bp) [15]
+overlap_w\t\tWindow size for overlap minimizers (bp) [10]
+time\t\t    \tIf True, will log the time for each step [False]
+gzip\t\t\tIf True, gzip the output scaffold FASTAs (pigz -p t when available) [False]
+reference_config\tConfig file with reference assemblies and reference weights as comma-separated values (See README for example)
+\t\t\t This is optional, and will override the 'references' and 'reference_weights' variables if specified
+
+TPU-framework options:
+backend\t\t\tMinimizer sketch backend: auto | pallas | jax | native | numpy [auto]
+index_backend\t\tFilter/graph stage placement: auto | device | host [auto]
+n_procs\t\t\tMulti-process distributed mode: total process count [1]
+process_id\t\tThis process's id (0..n_procs-1) [0]
+coordinator\t\tjax.distributed coordinator address for multi-host runs [None]
+local_devices\t\tDevices visible to this process (distributed mode) [None]
+
+Notes:
+\t- Ensure the lists of reference assemblies and weights are in the same order, and that both are space-separated
+\t- Ensure all assembly files are in the current working directory
+
+Other commands:
+\tntjoin-tpu analysis target=... references=... ref=truth.fa   minimap2+samtools alignment of inputs/outputs
+\tntjoin-tpu quast target=... references=... ref=truth.fa      QUAST evaluation report
+\tntjoin-tpu all target=... references=...                     assemble then analysis
+\tntjoin-tpu version | check_install
+"""
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("help", "-h", "--help"):
-        print(__doc__)
+        # per-parameter manual, surface-for-surface with the reference's
+        # `ntJoin help` (ntJoin:117-147)
+        print(HELP_TEXT.format(version=VERSION))
         return 0
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":

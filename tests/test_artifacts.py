@@ -250,3 +250,54 @@ def test_atomic_artifact_writes(tmp_path, monkeypatch):
     lines = [ln for ln in (tmp_path / "atomic.path").read_text().splitlines()
              if ln.startswith("ntJoin")]
     assert lines == ["ntJoin0\t1_f+:0-1981 20N 2_f+:0-2329"]
+
+
+def test_help_lists_every_parameter(capsys):
+    """`ntjoin-tpu help` prints the reference's per-parameter manual
+    (ntJoin:117-147 surface) covering every accepted key=value option."""
+    from ntjoin_tpu.cli import _DEFAULTS, main
+
+    assert main(["help"]) == 0
+    out = capsys.readouterr().out
+    for key in _DEFAULTS:
+        assert f"\n{key}\t" in out, f"help text missing option {key!r}"
+    for phrase in (
+        "Scaffolding assemblies using reference assemblies",
+        "Mann-Kendall",
+        "reference_config",
+        "same order",
+    ):
+        assert phrase in out
+
+
+def test_auto_routing_gz_size_estimate(tmp_path, monkeypatch):
+    """backend=auto must estimate bases from the gzip ISIZE trailer for
+    .gz inputs (raw .gz file size undercounts ~4x — round-4 advisor)."""
+    import gzip
+
+    import numpy as np
+
+    import ntjoin_tpu.cli as cli
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGT"[i] for i in rng.integers(0, 4, 200_000))
+    gz = tmp_path / "big.fa.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write(">x\n" + seq + "\n")
+    assert os.path.getsize(gz) < 100_000  # compresses well below raw
+
+    seen = {}
+
+    def spy_backend(name, total_bases=None):
+        seen["bases"] = total_bases
+        raise SystemExit(0)  # stop before any real work
+
+    monkeypatch.setattr(cli, "_sketch_backend", spy_backend)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit):
+        cli.assemble([
+            "backend=auto", f"target={gz.name}", "target_weight=1",
+            f"references={gz.name}", "reference_weights=2",
+        ])
+    # two inputs x ~200 kbp each, not 2 x ~55 kB of compressed bytes
+    assert seen["bases"] > 390_000
