@@ -266,11 +266,13 @@ def _ensure_sketch(
 
                 mesh = make_mesh()
         if mesh is not None:
-            from ntjoin_tpu.parallel.mesh import sketch_sharded
+            from ntjoin_tpu.parallel.mesh import sketch_records_sharded
 
-            sketches = []
+            # pipelined: every record's tiles dispatch before any fetch
+            sketches = sketch_records_sharded(
+                [r.codes for r in records], k, w, mesh
+            )
             for r in records:
-                sketches.append(sketch_sharded(r.codes, k, w, mesh))
                 r._codes = None  # drop per-record code cache (Gbp-scale RSS)
         elif batched:
             # one device program for the whole assembly
