@@ -120,10 +120,43 @@ def _rot31_const(h, c: int):
 
 def srol_const(pair, n: int):
     """srol^n for python-constant n."""
+    if n % (ROT_LOW_BITS * ROT_HIGH_BITS) == 1:
+        return srol1(pair)
+    if n % (ROT_LOW_BITS * ROT_HIGH_BITS) == ROT_LOW_BITS * ROT_HIGH_BITS - 1:
+        return sror1(pair)
     l_lo, l_b32, h = _split_groups(pair)
     l_lo, l_b32 = _rot33_const(l_lo, l_b32, n)
     h = _rot31_const(h, n)
     return _join_groups(l_lo, l_b32, h)
+
+
+def srol1(pair):
+    """srol^1 directly on the (lo, hi) pair — the hash kernel's hot rotate.
+
+    Fewer ops than the generic split-group path (no split/join):
+      new lo   = (lo << 1) | (hi & 1)            [33-bit group rotl1]
+      new bit32= lo >> 31
+      new high31 group H' = rotl1(H), H = hi >> 1
+      new hi   = (((hi & 0xFFFFFFFE) | (hi >> 31)) << 1 & 0xFFFFFFFE)
+                 | (lo >> 31)
+    """
+    lo, hi = pair
+    one = _U32(1)
+    nlo = (lo << one) | (hi & one)
+    t = (hi & _U32(0xFFFFFFFE)) | (hi >> _U32(31))  # H<<1 | H>>30
+    nhi = ((t << one) & _U32(0xFFFFFFFE)) | (lo >> _U32(31))
+    return nlo, nhi
+
+
+def sror1(pair):
+    """srol^-1 directly on the (lo, hi) pair (the reverse-hash rotate)."""
+    lo, hi = pair
+    one = _U32(1)
+    nlo = (lo >> one) | ((hi & one) << _U32(31))
+    nhi = ((hi >> one) & _U32(0xFFFFFFFE)) | ((hi & _U32(2)) << _U32(30)) | (
+        lo & one
+    )
+    return nlo, nhi
 
 
 def srol_var(pair, n):

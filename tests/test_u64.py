@@ -55,3 +55,25 @@ def test_mul_const_shr_nte():
     got = _back(u64.nte(_pairs(VALS), 32, 1))
     want = np.array([nte_py(int(v), 32, 1) for v in VALS], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_srol1_sror1_direct_forms():
+    """The direct (lo, hi) srol^1 / srol^-1 forms (hash-kernel hot path)
+    match the reference split-group rotation for random 64-bit values."""
+    import numpy as np
+
+    from ntjoin_tpu.constants import SROL_PERIOD, srol_n
+    from ntjoin_tpu.ops import u64
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 1 << 64, 2048, dtype=np.uint64)
+    pair = u64.from_np_u64(vals)
+    want1 = np.array([srol_n(int(v), 1) for v in vals], dtype=np.uint64)
+    wantm = np.array(
+        [srol_n(int(v), SROL_PERIOD - 1) for v in vals], dtype=np.uint64
+    )
+    assert (u64.to_np_u64(u64.srol1(pair)) == want1).all()
+    assert (u64.to_np_u64(u64.sror1(pair)) == wantm).all()
+    # srol_const dispatches the hot exponents to the direct forms
+    assert (u64.to_np_u64(u64.srol_const(pair, 1)) == want1).all()
+    assert (u64.to_np_u64(u64.srol_const(pair, 33 * 31 - 1)) == wantm).all()
