@@ -453,6 +453,79 @@ def _pick_tr(w: int) -> int:
     return 0  # 0 = no v3 kernel for this w
 
 
+def _bk_scan(vals, comb, fills, down: bool):
+    """Brent-Kung-flavoured inclusive scan along axis 0 of (R, LANE) arrays.
+
+    The naive shifted-combine scan costs log2(R) full-array passes; this
+    does 3 sublane-local passes inside each native (8, LANE) vreg group
+    (free-reshape to (R/8, 8, LANE), shifts never cross vreg boundaries),
+    a log2(R/8)-pass coarse scan over the 1/8-size group totals, and one
+    broadcast combine — ~4.1 passes/element instead of ~log2(R).
+
+    ``comb(a, b)`` must treat operand ``b`` as covering the rows closer to
+    the scan origin (earlier rows for ``down``, later rows for up) — the
+    same convention as the shifted combines it replaces.  Requires R % 8
+    == 0 (callers fall back to the naive scan otherwise).
+    """
+    R = vals[0].shape[0]
+    lane = vals[0].shape[-1]
+    nt8 = R // 8
+    v = tuple(x.reshape(nt8, 8, lane) for x in vals)
+    f3 = tuple(jnp.full((nt8, 8, lane), f, x.dtype) for f, x in zip(fills, vals))
+
+    def shift_sub(x, s, fill):  # along the in-group (sublane) axis
+        if down:
+            return jnp.concatenate([fill[:, :s], x[:, : 8 - s]], axis=1)
+        return jnp.concatenate([x[:, s:], fill[:, :s]], axis=1)
+
+    def shift_grp(x, s, fill):  # along the group axis
+        if down:
+            return jnp.concatenate([fill[:s], x[:-s]], axis=0)
+        return jnp.concatenate([x[s:], fill[:s]], axis=0)
+
+    for s in (1, 2, 4):
+        v = comb(v, tuple(shift_sub(x, s, f) for x, f in zip(v, f3)))
+    # coarse scan over each group's inclusive total (the origin-far row)
+    tot = tuple(x[:, 7:8, :] if down else x[:, 0:1, :] for x in v)
+    fc = tuple(f[:, :1, :] for f in f3)
+    s = 1
+    while s < nt8:
+        tot = comb(tot, tuple(shift_grp(x, s, f) for x, f in zip(tot, fc)))
+        s *= 2
+    excl = tuple(shift_grp(x, 1, f) for x, f in zip(tot, fc))
+    v = comb(v, tuple(jnp.broadcast_to(x, (nt8, 8, lane)) for x in excl))
+    return tuple(x.reshape(R, lane) for x in v)
+
+
+def _scan_add(x, w, zf, bk: bool):
+    """Inclusive sum scan down the rows of an (w, LANE) i32 array."""
+    if bk and w % 8 == 0:
+        return _bk_scan(
+            (x,), lambda a, b: (a[0] + b[0],), (0,), down=True
+        )[0]
+    s = 1
+    while s < w:
+        x = x + _shift_down(x, s, zf)
+        s *= 2
+    return x
+
+
+def _scan_propagate(pv, w, zf, bk: bool):
+    """Last-nonzero propagate scan down the rows (packed stride words)."""
+    if bk and w % 8 == 0:
+        return _bk_scan(
+            (pv,),
+            lambda a, b: (jnp.where(a[0] != 0, a[0], b[0]),),
+            (0,),
+            down=True,
+        )[0]
+    s = 1
+    while s < w:
+        pv = jnp.where(pv != 0, pv, _shift_down(pv, s, zf))
+        s *= 2
+    return pv
+
+
 def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     """Van Herk windowed argmin with in-kernel emission compaction.
 
@@ -533,11 +606,18 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     def tile(ref, t):
         return ref[pl.ds(t * tr, tr), :]
 
+    bk = os.environ.get("NTJOIN_TPU_SCAN", "v3") == "bk"
+
     def tile_scan(vals, shift, comb):
         # ``comb`` prefers the operand covering the earlier rows on value
         # ties (leftmost-tie argmin without a 3rd compare word): the
         # down-shift feeds earlier rows as the SECOND operand, the
         # up-shift feeds later rows as the second operand.
+        if bk and tr % 8 == 0:
+            return _bk_scan(
+                vals, comb, (_MAXU, _MAXU, np.int32(2**31 - 1)),
+                down=shift is _shift_down,
+            )
         s = 1
         while s < tr:
             shifted = tuple(shift(v, s, f) for v, f in zip(vals, fills))
@@ -594,13 +674,9 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
     emiti = (valid & (first | (rix != prev_ix))).astype(_I32)
     zf = jnp.zeros((w, _LANE), _I32)
 
-    # inclusive scan of RAW emissions (log2 w shifted adds): slot positions
-    # for the fast tier + the branch condition for the dense tier
-    rcum = emiti
-    s = 1
-    while s < w:
-        rcum = rcum + _shift_down(rcum, s, zf)
-        s *= 2
+    # inclusive scan of RAW emissions: slot positions for the fast tier +
+    # the branch condition for the dense tier
+    rcum = _scan_add(emiti, w, zf, bk)
     cnt_raw = rcum[w - 1 : w]
     mc_raw = jnp.max(cnt_raw)
 
@@ -688,11 +764,7 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
             # rows (d <= w < 2^15 for real strides; a block-leading
             # emission's d can be a huge entering jump, still < 2^30 so
             # the pack is safe and — compared against strides <= w — inert)
-            pv = ((d << 1) | 1) * emiti
-            s = 1
-            while s < w:
-                pv = jnp.where(pv != 0, pv, _shift_down(pv, s, zf))
-                s *= 2
+            pv = _scan_propagate(((d << 1) | 1) * emiti, w, zf, bk)
             prev_pv = _shift_down(pv, 1, zf)  # last emission strictly above
             slide_i = (
                 emiti
@@ -703,11 +775,7 @@ def _window_emit_kernel(w, tr, has_flags, runs_on, scal_ref, *refs):
                 * (rhi == prev_hi).astype(_I32)
             )
             fresh = emiti - slide_i
-            ecum = fresh
-            s = 1
-            while s < w:
-                ecum = ecum + _shift_down(ecum, s, zf)
-                s *= 2
+            ecum = _scan_add(fresh, w, zf, bk)
             assemble(fresh, ecum - 1, ecum[w - 1 : w], _NSLOT, (slide_i, d))
         else:
             # stream-compacted callers: rank+1 is NOT genomic position+1,
@@ -1091,11 +1159,15 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "k", "w", "cap", "multi", "interpret", "mode", "slots"),
+    static_argnames=(
+        "n", "k", "w", "cap", "multi", "interpret", "mode", "slots",
+        "stop_after",
+    ),
 )
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
                   multi: bool = False, interpret: bool = False,
-                  mode: str = "bsearch", slots: bool = True):
+                  mode: str = "bsearch", slots: bool = True,
+                  stop_after: str | None = None):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -1163,6 +1235,15 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
 
     h_lo, h_hi, val = _hash_chunked.__wrapped__(x, x_lag, k, interpret=interpret)
 
+    if stop_after == "hash":
+        # kernel_prof ablation: in-context cost of layout + hash alone
+        # (consume via cheap reductions so nothing is DCE'd)
+        return (
+            jnp.sum(h_lo, dtype=_U32)
+            ^ jnp.sum(h_hi, dtype=_U32)
+            ^ jnp.sum(val, dtype=jnp.int8).astype(_U32)
+        )
+
     if use_slots:
         # END-indexed rows go STRAIGHT into the window kernel (row r =
         # hash of the k-mer ending at r; windows live at rows
@@ -1224,6 +1305,10 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
             gm_lo, gm_hi, scal, w, flags=flags, nb=nb_raw,
             interpret=interpret,
         )
+        if stop_after == "window":
+            # kernel_prof ablation: layout + hash + window/slot kernel,
+            # compaction skipped
+            return jnp.sum(oix) + jnp.sum(olo) + jnp.sum(ohi) + jnp.sum(orun)
         out_pos, out_lo, out_hi, out_run, count, slots_ok = _compact_slots(
             oix, olo, ohi, orun, cap
         )

@@ -474,3 +474,31 @@ def test_batched_records_no_tile_w_parity():
     ref = sketch_codes(rec, 32, 1026)
     assert got[0].positions.tolist() == ref.positions.tolist()
     assert got[0].hashes.tolist() == ref.hashes.tolist()
+
+
+def test_bk_scan_mode_parity(monkeypatch):
+    """NTJOIN_TPU_SCAN=bk (vreg-local + coarse scans) must be bit-equal
+    to the shifted-combine scans across w with tr%8==0 (tile scans) and
+    w%8==0 (emission scans), including repeat runs (dense tier)."""
+    import jax
+
+    monkeypatch.setenv("NTJOIN_TPU_SCAN", "bk")
+    jax.clear_caches()
+    try:
+        from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
+        rng = np.random.default_rng(71)
+        records = []
+        for ln in [9000, 4000, 2500]:
+            codes = rng.integers(0, 4, size=ln).astype(np.uint8)
+            records.append(codes)
+        records[0][500:2100] = 1  # poly-C: dense tier + run compression
+        records[1][100:160] = 4  # N run: general path
+        for w in (16, 64):
+            got = sketch_records_pallas(records, 15, w, interpret=True)
+            for codes, sk in zip(records, got):
+                ref = sketch_codes(codes, 15, w)
+                assert sk.positions.tolist() == ref.positions.tolist(), w
+                assert sk.hashes.tolist() == ref.hashes.tolist(), w
+    finally:
+        jax.clear_caches()
