@@ -33,6 +33,11 @@ def emit(name, obj):
 def main() -> int:
     stages = sys.argv[1:] or ["link", "fused", "decomp", "multi", "general"]
     import jax
+
+    if os.environ.get("KP_CPU"):
+        # smoke-testing the harness itself: force CPU after import (the
+        # axon sitecustomize force-registers the TPU backend)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ntjoin_tpu.utils.jaxcfg import enable_compile_cache
@@ -138,6 +143,86 @@ def main() -> int:
             "pipelined_ms": [round(t * 1e3, 1) for t in pipe],
             "gbps_pipelined": round(size / min(pipe) / 1e9, 2),
         })
+
+    if "ablate" in stages and left() > 200:
+        # IN-CONTEXT stage marginals: the real fused program truncated after
+        # each stage via the stop_after hook (isolated-stage timings proved
+        # non-additive in round 4; these deltas are the honest attribution)
+        t_hash = pipelined(
+            lambda: _sketch_fused(
+                dev, size, k, w, cap, interpret=interp, stop_after="hash"
+            ),
+            sync_scalar,
+        )
+        emit("ablate_through_hash_ms", [round(x * 1e3, 1) for x in t_hash])
+        t_win = pipelined(
+            lambda: _sketch_fused(
+                dev, size, k, w, cap, interpret=interp, stop_after="window"
+            ),
+            sync_scalar,
+        )
+        emit("ablate_through_window_ms", [round(x * 1e3, 1) for x in t_win])
+        t_full = pipelined(
+            lambda: _sketch_fused(dev, size, k, w, cap, interpret=interp),
+            lambda o: int(o[3]),
+        )
+        emit("ablate_full_ms", [round(x * 1e3, 1) for x in t_full])
+        emit("ablate_marginals_ms", {
+            "layout_hash": round(min(t_hash) * 1e3, 1),
+            "window_slots": round((min(t_win) - min(t_hash)) * 1e3, 1),
+            "compact": round((min(t_full) - min(t_win)) * 1e3, 1),
+            "full": round(min(t_full) * 1e3, 1),
+        })
+
+    if "sweep2" in stages and left() > 600:
+        # round-5 variant sweep: Brent-Kung scans x scan-tile size on the
+        # full fused program, plus hash-kernel unroll on the hash ablation
+        import ntjoin_tpu.ops.sketch_pallas as _sp
+
+        def fused_best(reps=5, stop_after=None):
+            kw = {"stop_after": stop_after} if stop_after else {}
+            sync = sync_scalar if stop_after else (lambda o: int(o[3]))
+            out = _sketch_fused(dev, size, k, w, cap, interpret=interp, **kw)
+            sync(out)
+            best = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                outs = [
+                    _sketch_fused(dev, size, k, w, cap, interpret=interp, **kw)
+                    for _ in range(reps)
+                ]
+                for o in outs:
+                    sync(o)
+                best.append((time.monotonic() - t0) / reps)
+            return round(min(best) * 1e3, 1)
+
+        for scan in ("v3", "bk"):
+            for tr_v in (40, 200, 1000):
+                os.environ["NTJOIN_TPU_SCAN"] = scan
+                os.environ["NTJOIN_TPU_TR"] = str(tr_v)
+                jax.clear_caches()
+                try:
+                    emit(f"sweep2_{scan}_tr{tr_v}_ms", fused_best())
+                except Exception as e:  # noqa: BLE001
+                    emit(f"sweep2_{scan}_tr{tr_v}_ms", f"fail {type(e).__name__}")
+                if left() < 400:
+                    break
+        os.environ.pop("NTJOIN_TPU_SCAN", None)
+        os.environ.pop("NTJOIN_TPU_TR", None)
+        for ur in (4, 8, 16):
+            os.environ["NTJOIN_TPU_UNROLL"] = str(ur)
+            # module-level constant: reload path reads env at import; patch
+            _sp._UNROLL = ur
+            jax.clear_caches()
+            try:
+                emit(f"sweep2_unroll{ur}_hash_ms", fused_best(stop_after="hash"))
+            except Exception as e:  # noqa: BLE001
+                emit(f"sweep2_unroll{ur}_hash_ms", f"fail {type(e).__name__}")
+            if left() < 300:
+                break
+        os.environ.pop("NTJOIN_TPU_UNROLL", None)
+        _sp._UNROLL = 8
+        jax.clear_caches()
 
     if "decomp" in stages and left() > 600:
         # stage decomposition, each under ONE jit with a sum consumer (a
