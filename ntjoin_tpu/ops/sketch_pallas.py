@@ -1161,13 +1161,13 @@ def _compact_emissions(emit, order, cap: int, vals, mode: str | None = None):
     jax.jit,
     static_argnames=(
         "n", "k", "w", "cap", "multi", "interpret", "mode", "slots",
-        "stop_after",
+        "stop_after", "pre_layout",
     ),
 )
 def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
                   multi: bool = False, interpret: bool = False,
                   mode: str = "bsearch", slots: bool = True,
-                  stop_after: str | None = None):
+                  stop_after: str | None = None, pre_layout: bool = False):
     """Whole sketch on device: layout -> hash -> window -> compacted result.
 
     Device-resident end to end; the only host transfers are the int8 code
@@ -1220,14 +1220,22 @@ def _sketch_fused(codes_padded, n: int, k: int, w: int, cap: int,
     # s*L (chunk c row i = flat[c*L + i]); stacking shifted reshapes covers
     # halos longer than L.  Everything through the hash kernel stays int8
     # (1 B/base of HBM traffic); the kernel widens per-tile in VMEM.
-    sections = -(-(L + halo) // L)
-    blocks = [
-        codes_padded[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
-        for s in range(sections)
-    ]
-    x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
-    x8 = jnp.pad(x8, ((0, code_rows - L - halo), (0, 0)), constant_values=CODE_INVALID)
-    x8 = x8.reshape(code_rows, _SUB, _LANE)
+    if pre_layout:
+        # measurement path: codes arrive already in the chunked layout —
+        # isolates the transpose's in-context cost for kernel_prof
+        x8 = codes_padded.reshape(code_rows, _SUB, _LANE)
+    else:
+        sections = -(-(L + halo) // L)
+        blocks = [
+            codes_padded[s * L : (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+            for s in range(sections)
+        ]
+        x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+        x8 = jnp.pad(
+            x8, ((0, code_rows - L - halo), (0, 0)),
+            constant_values=CODE_INVALID,
+        )
+        x8 = x8.reshape(code_rows, _SUB, _LANE)
     x = x8  # int8 straight into the kernel (widened per-tile in VMEM)
     x_lag = jnp.pad(
         x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)), constant_values=CODE_INVALID

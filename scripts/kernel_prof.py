@@ -174,6 +174,46 @@ def main() -> int:
             "full": round(min(t_full) * 1e3, 1),
         })
 
+    if "ablate2" in stages and left() > 200:
+        # transpose attribution: same fused program but fed codes already
+        # in the chunked (code_rows, SUB, LANE) layout (host-transposed,
+        # uploaded once outside the timed region)
+        from ntjoin_tpu.ops.sketch_pallas import _SUB as _SUBV, _LANE as _LANEV
+
+        # device layout is uniformly x8[r, c] = flat[c*L + r] for
+        # r < L + halo (invalid-padded above): build it host-side exactly.
+        # NB the slots path sizes code_rows up to whole w-blocks + flush.
+        cr_slots = _ceil_to(
+            max(L + halo, (-(-(L + halo) // w) + 1) * w), _ROW_BLOCK
+        )
+        x8_np = np.full((cr_slots, _CHUNKS), CODE_INVALID, np.int8)
+        lh = min(L + halo, cr_slots)
+        view = np.lib.stride_tricks.as_strided(
+            buf, shape=(_CHUNKS, lh), strides=(L, 1)
+        )
+        x8_np[:lh] = view.T
+        x8dev = jnp.asarray(x8_np.reshape(cr_slots, _SUBV, _LANEV))
+        sync_scalar(x8dev[:1, :1, :1])
+        t_h = pipelined(
+            lambda: _sketch_fused(
+                x8dev, size, k, w, cap, interpret=interp,
+                pre_layout=True, stop_after="hash",
+            ),
+            sync_scalar,
+        )
+        emit("ablate2_prelayout_hash_ms", [round(x * 1e3, 1) for x in t_h])
+        out = _sketch_fused(
+            x8dev, size, k, w, cap, interpret=interp, pre_layout=True
+        )
+        emit("ablate2_prelayout_check_cnt", int(out[3]))
+        t_f = pipelined(
+            lambda: _sketch_fused(
+                x8dev, size, k, w, cap, interpret=interp, pre_layout=True
+            ),
+            lambda o: int(o[3]),
+        )
+        emit("ablate2_prelayout_full_ms", [round(x * 1e3, 1) for x in t_f])
+
     if "sweep2" in stages and left() > 600:
         # round-5 variant sweep: Brent-Kung scans x scan-tile size on the
         # full fused program, plus hash-kernel unroll on the hash ablation
