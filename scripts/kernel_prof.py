@@ -264,6 +264,64 @@ def main() -> int:
         _sp._UNROLL = 8
         jax.clear_caches()
 
+    if "sweep3" in stages and left() > 300:
+        # hash-kernel scheduling sweep: small unrolls (register pressure)
+        # on the pre-layout hash ablation, then the full fused wall at the
+        # best value
+        import ntjoin_tpu.ops.sketch_pallas as _sp3
+
+        best_ur, best_ms = 8, 1e9
+        for ur in (1, 2, 4, 8):
+            _sp3._UNROLL = ur
+            jax.clear_caches()
+            try:
+                out = _sketch_fused(
+                    dev, size, k, w, cap, interpret=interp, stop_after="hash"
+                )
+                sync_scalar(out)
+                ts = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    outs = [
+                        _sketch_fused(
+                            dev, size, k, w, cap, interpret=interp,
+                            stop_after="hash",
+                        )
+                        for _ in range(5)
+                    ]
+                    for o in outs:
+                        sync_scalar(o)
+                    ts.append((time.monotonic() - t0) / 5)
+                ms = round(min(ts) * 1e3, 1)
+                emit(f"sweep3_unroll{ur}_hash_ms", ms)
+                if ms < best_ms:
+                    best_ur, best_ms = ur, ms
+            except Exception as e:  # noqa: BLE001
+                emit(f"sweep3_unroll{ur}_hash_ms", f"fail {type(e).__name__}")
+            if left() < 300:
+                break
+        _sp3._UNROLL = best_ur
+        jax.clear_caches()
+        out = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+        cnt = int(out[3])
+        ts = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            outs = [
+                _sketch_fused(dev, size, k, w, cap, interpret=interp)
+                for _ in range(5)
+            ]
+            for o in outs:
+                int(o[3])
+            ts.append((time.monotonic() - t0) / 5)
+        emit("sweep3_best", {
+            "unroll": best_ur, "cnt": cnt,
+            "fused_pipelined_ms": round(min(ts) * 1e3, 1),
+            "gbps": round(size / min(ts) / 1e9, 2),
+        })
+        _sp3._UNROLL = 8
+        jax.clear_caches()
+
     if "decomp" in stages and left() > 600:
         # stage decomposition, each under ONE jit with a sum consumer (a
         # bare count return lets XLA DCE whole stages — CLAUDE.md)
