@@ -63,12 +63,22 @@ def _split64(v: int) -> tuple[np.uint32, np.uint32]:
 
 
 def _tables(k: int):
-    """The four 4-entry constant tables the recurrences select from."""
+    """The four 4-entry constant tables the recurrences select from.
+
+    The reverse-strand outgoing table is pre-rotated by srol^-1: rotation
+    distributes over xor (it is a bit permutation), so
+    ``sror1(r ^ seed[rc(out)]) = sror1(r) ^ sror1(seed)[out]`` — which
+    turns BOTH recurrences into ``state = rot1(state) ^ m`` with ``m``
+    independent of the carried state (all four table selects batch
+    per-tile outside the sequential chain).
+    """
     seed_in = [_split64(SEEDS[c]) for c in range(4)]
     seed_out = [_split64(srol_n(SEEDS[c], k)) for c in range(4)]
-    seed_rc_out = [_split64(SEEDS[3 - c]) for c in range(4)]
+    seed_rc_out_rot = [
+        _split64(srol_n(SEEDS[3 - c], 33 * 31 - 1)) for c in range(4)
+    ]
     seed_rc_in = [_split64(srol_n(SEEDS[3 - c], k - 1)) for c in range(4)]
-    return seed_in, seed_out, seed_rc_out, seed_rc_in
+    return seed_in, seed_out, seed_rc_out_rot, seed_rc_in
 
 
 def _sel(code, tab):
@@ -116,6 +126,11 @@ def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
         # the widen happens here, once per VMEM tile
         tile = x_ref[pl.ds(base, _UNROLL)].astype(_I32)  # (_UNROLL, SUB, LANE)
         lag = xlag_ref[pl.ds(base, _UNROLL)].astype(_I32)
+        # batched seed terms: independent of the carried state, so all four
+        # table selects run as whole-tile ops OUTSIDE the sequential chain
+        # (the chain per row is just rot1 + xor per strand)
+        mf = u64.xor(_sel(lag, t_out), _sel(tile, t_in))
+        mr = u64.xor(_sel(lag, t_rc_out), _sel(tile, t_rc_in))
         f = (fwd_lo[0], fwd_hi[0])
         r = (rev_lo[0], rev_hi[0])
         lb = last_bad[0]
@@ -123,15 +138,11 @@ def _hash_kernel(k, x_ref, xlag_ref, lo_ref, hi_ref, val_ref,
         for u in range(_UNROLL):  # static unroll: one dynamic slice per tile
             i = g * rb + base + u
             row = tile[u]
-            out_c = lag[u]
-            # fwd_i = srol(fwd) ^ srol^k(seed[out]) ^ seed[in]
-            f = u64.srol_const(f, 1)
-            f = u64.xor(f, _sel(out_c, t_out))
-            f = u64.xor(f, _sel(row, t_in))
-            # rev_i = srol^{-1}(rev ^ seed[rc(out)]) ^ srol^{k-1}(seed[rc(in)])
-            r = u64.xor(r, _sel(out_c, t_rc_out))
-            r = u64.srol_const(r, 33 * 31 - 1)
-            r = u64.xor(r, _sel(row, t_rc_in))
+            # fwd_i = srol(fwd) ^ (srol^k(seed[out]) ^ seed[in])
+            f = u64.xor(u64.srol1(f), (mf[0][u], mf[1][u]))
+            # rev_i = srol^{-1}(rev) ^ (srol^{-1}(seed[rc(out)])
+            #         ^ srol^{k-1}(seed[rc(in)]))
+            r = u64.xor(u64.sror1(r), (mr[0][u], mr[1][u]))
             lb = jnp.where(row >= CODE_INVALID, i, lb)
             canon = u64.add(f, r)
             out_lo.append(canon[0])
