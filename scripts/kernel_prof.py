@@ -144,6 +144,66 @@ def main() -> int:
             "gbps_pipelined": round(size / min(pipe) / 1e9, 2),
         })
 
+    if "membw" in stages and left() > 200:
+        # achievable HBM bandwidth on this chip: pallas block copy, XLA
+        # elementwise (read+write), XLA reduce (read-only) over a
+        # 536 MB u32 array — calibrates whether the sketch stages are
+        # bandwidth- or issue-bound
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        rows = code_rows
+        big = jnp.asarray(
+            np.arange(rows * _CHUNKS, dtype=np.uint32).reshape(rows, _CHUNKS)
+        )
+        sync_scalar(big[:1, :1])
+        nbytes = rows * _CHUNKS * 4
+
+        def _copy_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...]
+
+        rb = 256
+        grid = rows // rb
+        spec = pl.BlockSpec(
+            (rb, _CHUNKS), lambda g: (g, 0), memory_space=pltpu.VMEM
+        )
+
+        @jax.jit
+        def pallas_copy(x):
+            y = pl.pallas_call(
+                _copy_kernel,
+                grid=(grid,),
+                in_specs=[spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, _CHUNKS), jnp.uint32),
+                interpret=interp,
+            )(x)
+            return y[0, 0] + y[-1, -1]
+
+        @jax.jit
+        def xla_elem(x):
+            y = x ^ jnp.uint32(1)
+            return y[0, 0] + y[-1, -1]
+
+        @jax.jit
+        def xla_reduce(x):
+            return jnp.sum(x, dtype=jnp.uint32)
+
+        for name, fn, traffic in (
+            ("pallas_copy", pallas_copy, 2 * nbytes),
+            ("xla_elem", xla_elem, 2 * nbytes),
+            ("xla_reduce", xla_reduce, nbytes),
+        ):
+            try:
+                t = pipelined(lambda fn=fn: fn(big), sync_scalar)
+                emit(f"membw_{name}", {
+                    "ms": [round(x * 1e3, 2) for x in t],
+                    "gb_s": round(traffic / min(t) / 1e9, 1),
+                })
+            except Exception as e:  # noqa: BLE001
+                emit(f"membw_{name}", f"fail {type(e).__name__}")
+        del big
+
     if "ablate" in stages and left() > 200:
         # IN-CONTEXT stage marginals: the real fused program truncated after
         # each stage via the stop_after hook (isolated-stage timings proved
