@@ -144,6 +144,97 @@ def main() -> int:
             "gbps_pipelined": round(size / min(pipe) / 1e9, 2),
         })
 
+    if "slope" in stages and left() > 200:
+        # Slope methodology: the relay adds a large PER-CALL constant
+        # (today's floor measured ~25 ms — an XLA-DCE'd no-op "took" 25 ms
+        # in the membw stage), so absolutes from sync-every-call timing are
+        # inflated.  Dispatch r reps back-to-back, sync ONCE on the last
+        # output; compute-per-call = (T(r2) - T(r1)) / (r2 - r1) — any
+        # per-session and per-call constants cancel.
+        def slope_ms(fn, sync, r1=2, r2=12):
+            sync(fn())  # warm/compile
+            best = 1e9
+            for _ in range(2):
+                t0 = time.monotonic()
+                out = None
+                for _ in range(r1):
+                    out = fn()
+                sync(out)
+                ta = time.monotonic() - t0
+                t0 = time.monotonic()
+                for _ in range(r2):
+                    out = fn()
+                sync(out)
+                tb = time.monotonic() - t0
+                best = min(best, (tb - ta) / (r2 - r1))
+            return round(best * 1e3, 2)
+
+        @jax.jit
+        def nop_like(x):
+            return x[0] + x[-1]
+
+        small = jnp.asarray(np.arange(256, dtype=np.int32))
+        sync_scalar(small[:1])
+        emit("slope_nop_ms", slope_ms(lambda: nop_like(small), sync_scalar))
+
+        rows = code_rows
+        big = jnp.asarray(
+            np.arange(rows * _CHUNKS, dtype=np.uint32).reshape(rows, _CHUNKS)
+        )
+        sync_scalar(big[:1, :1])
+        nbytes = rows * _CHUNKS * 4
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _copy_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...]
+
+        rb = 256
+        spec = pl.BlockSpec(
+            (rb, _CHUNKS), lambda g: (g, 0), memory_space=pltpu.VMEM
+        )
+
+        @jax.jit
+        def pallas_copy(x):
+            y = pl.pallas_call(
+                _copy_kernel,
+                grid=(rows // rb,),
+                in_specs=[spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, _CHUNKS), jnp.uint32),
+                interpret=interp,
+            )(x)
+            return y[0, 0] + y[-1, -1]
+
+        ms = slope_ms(lambda: pallas_copy(big), sync_scalar)
+        emit("slope_pallas_copy", {
+            "ms": ms, "gb_s": round(2 * nbytes / (ms / 1e3) / 1e9, 1),
+        })
+        del big
+
+        ms = slope_ms(
+            lambda: _sketch_fused(
+                dev, size, k, w, cap, interpret=interp, stop_after="hash"
+            ),
+            sync_scalar,
+        )
+        emit("slope_hash_ms", ms)
+        ms = slope_ms(
+            lambda: _sketch_fused(
+                dev, size, k, w, cap, interpret=interp, stop_after="window"
+            ),
+            sync_scalar,
+        )
+        emit("slope_window_ms", ms)
+        ms = slope_ms(
+            lambda: _sketch_fused(dev, size, k, w, cap, interpret=interp),
+            lambda o: int(o[3]),
+        )
+        emit("slope_fused", {
+            "ms": ms, "gbps": round(size / (ms / 1e3) / 1e9, 2),
+        })
+
     if "membw" in stages and left() > 200:
         # achievable HBM bandwidth on this chip: pallas block copy, XLA
         # elementwise (read+write), XLA reduce (read-only) over a
