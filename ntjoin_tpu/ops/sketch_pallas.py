@@ -916,16 +916,26 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     lane_cum = jnp.cumsum(per_lane)  # (nl,) inclusive
     slots_ok = jnp.all(counts_raw <= _NSLOT) & jnp.all(per_lane <= cap_pl)
 
-    # (lane, j) -> flat source index, via two fused broadcast reductions
-    # over (nl, nbm1, cap_pl): blk = #blocks fully consumed before j+1,
-    # base = emissions in those blocks (slot = j - base).
+    # (lane, j) -> flat source index.  Same scatter + cummax forward-fill
+    # trick as the rank->lane level below (each block max-marks its start
+    # j in its lane's row; empty-block ties resolve to the true owner),
+    # replacing a (nl, nbm1, cap_pl) broadcast compare (~37M elems).
+    bstart = bcum - cb  # exclusive per-lane block cumsum (nl, nbm1)
+    li2 = jax.lax.broadcasted_iota(_I32, (nl, nbm1), 0)
+    bi2 = jax.lax.broadcasted_iota(_I32, (nl, nbm1), 1)
+    marks_b = jnp.zeros((nl, cap_pl), _I32).at[li2, bstart].max(
+        bi2, mode="drop"
+    )
+    blk_c = jnp.minimum(jax.lax.cummax(marks_b, axis=1), nbm1 - 1)
+    base = jax.lax.cummax(
+        jnp.zeros((nl, cap_pl), _I32).at[li2, bstart].max(
+            bstart, mode="drop"
+        ),
+        axis=1,
+    )
     j = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (1, cap_pl), 1)
     )
-    le = bcum[:, :, None] <= j[:, None, :]  # (nl, nbm1, cap_pl)
-    blk = jnp.sum(le.astype(_I32), axis=1)  # (nl, cap_pl)
-    base = jnp.sum(jnp.where(le, cb[:, :, None], 0), axis=1)
-    blk_c = jnp.minimum(blk, nbm1 - 1)
     slot = jnp.clip(j - base, 0, _NSLOT - 1)
     li_of = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (nl, 1), 0)
@@ -950,7 +960,11 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
         lane_idx, mode="drop"
     )
     lane = jax.lax.cummax(marks)  # ranks below lane 0's start: lane 0
-    base_r = lane_start[lane]  # gather of cap scalars
+    # the owning lane's start rank, by the same scatter+fill (saves a
+    # whole dependent gather round vs lane_start[lane])
+    base_r = jax.lax.cummax(
+        jnp.zeros(cap, _I32).at[lane_start].max(lane_start, mode="drop")
+    )
     j_r = jnp.clip(q - base_r, 0, cap_pl - 1)
     src = src_tab.reshape(-1)[lane * cap_pl + j_r]  # gather round 1
     alive = q < total

@@ -235,6 +235,32 @@ def main() -> int:
             "ms": ms, "gbps": round(size / (ms / 1e3) / 1e9, 2),
         })
 
+        # Brent-Kung scans under honest timing (the sync-floor hid any
+        # effect in the earlier sweep)
+        os.environ["NTJOIN_TPU_SCAN"] = "bk"
+        jax.clear_caches()
+        try:
+            ms = slope_ms(
+                lambda: _sketch_fused(
+                    dev, size, k, w, cap, interpret=interp,
+                    stop_after="window",
+                ),
+                sync_scalar,
+            )
+            emit("slope_window_bk_ms", ms)
+            ms = slope_ms(
+                lambda: _sketch_fused(dev, size, k, w, cap, interpret=interp),
+                lambda o: int(o[3]),
+            )
+            emit("slope_fused_bk", {
+                "ms": ms, "gbps": round(size / (ms / 1e3) / 1e9, 2),
+            })
+        except Exception as e:  # noqa: BLE001
+            emit("slope_bk", f"fail {type(e).__name__}")
+        finally:
+            os.environ.pop("NTJOIN_TPU_SCAN", None)
+            jax.clear_caches()
+
     if "membw" in stages and left() > 200:
         # achievable HBM bandwidth on this chip: pallas block copy, XLA
         # elementwise (read+write), XLA reduce (read-only) over a
