@@ -122,18 +122,28 @@ for _ in range(5):
     ts.append(time.monotonic() - t0)
 fused = sorted(ts)
 
-# pipelined throughput: dispatch a batch back-to-back, sync once — the
-# steady-state rate when batches stream through the device (each per-call
-# sync above pays one ~25 ms tunnel round-trip that a PCIe-attached host
-# would not)
+# pipelined throughput via SLOPE timing: dispatch r back-to-back, sync
+# once on the last output; per-call = (T(r2) - T(r1)) / (r2 - r1).  The
+# relay adds a large per-SYNC constant (measured up to ~25 ms some days:
+# an XLA-DCE'd no-op "took" 25 ms under sync-every-call timing), so
+# syncing every rep measures the tunnel, not the chip; the slope cancels
+# every per-session and per-call constant and matches what a
+# PCIe-attached host would see in steady state.
 pipe = []
-reps = 5
+r1, r2 = 2, 12
 for _ in range(3):
     t0 = time.monotonic()
-    outs = [_sketch_fused(dev, size, k, w, cap) for _ in range(reps)]
-    for o in outs:
-        int(o[3])
-    pipe.append((time.monotonic() - t0) / reps)
+    o = None
+    for _ in range(r1):
+        o = _sketch_fused(dev, size, k, w, cap)
+    int(o[3])
+    ta = time.monotonic() - t0
+    t0 = time.monotonic()
+    for _ in range(r2):
+        o = _sketch_fused(dev, size, k, w, cap)
+    int(o[3])
+    tb = time.monotonic() - t0
+    pipe.append((tb - ta) / (r2 - r1))
 fused_pipe = sorted(pipe)
 
 def trials(fn, n=3):
