@@ -502,3 +502,71 @@ def test_bk_scan_mode_parity(monkeypatch):
                 assert sk.hashes.tolist() == ref.hashes.tolist(), w
     finally:
         jax.clear_caches()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_compact_slots_stress(seed):
+    """Randomized _compact_slots decode vs a direct NumPy reference.
+
+    Exercises the scatter+cummax rank decode (round 5) on adversarial
+    shapes: empty lanes, empty blocks, full slots, lanes at the per-lane
+    cap, and counts-raw overflow flipping slots_ok."""
+    import jax.numpy as jnp
+
+    from ntjoin_tpu.ops import sketch_pallas as sp
+
+    rng = np.random.default_rng(seed)
+    nbm1, nl = 9, 256
+    counts = rng.poisson(1.2, size=(nbm1, nl)).astype(np.int32)
+    counts[:, rng.integers(0, nl, 40)] = 0  # empty lanes
+    counts[rng.integers(0, nbm1, 3), :] = 0  # empty blocks
+    counts[0, 0] = sp._NSLOT  # a full slot row
+    oix = np.full((nbm1, sp._SLOTS, nl), -1, np.int32)
+    olo = np.zeros((nbm1, sp._SLOTS, nl), np.int32)
+    ohi = np.zeros((nbm1, sp._SLOTS, nl), np.int32)
+    orun = np.zeros((nbm1, sp._SLOTS, nl), np.int32)
+    val = 1
+    # fill slots 0..cnt-1 contiguously per (block, lane), ascending values
+    for b in range(nbm1):
+        for l in range(nl):
+            for s in range(min(int(counts[b, l]), sp._NSLOT)):
+                oix[b, s, l] = val
+                olo[b, s, l] = val * 3
+                ohi[b, s, l] = val * 5
+                orun[b, s, l] = 1
+                val += 1
+    oix[:, sp._NSLOT, :] = counts  # raw-count row
+    cap = int(counts.sum()) + 64
+
+    got = sp._compact_slots(
+        jnp.asarray(oix), jnp.asarray(olo), jnp.asarray(ohi),
+        jnp.asarray(orun), cap,
+    )
+    pos, lo, hi, run, total, slots_ok = (np.asarray(x) for x in got)
+    assert int(total) == counts.sum()
+    assert bool(slots_ok)
+
+    # numpy reference: lane-major, block order within lane, slot order
+    ref_pos, ref_lo, ref_hi = [], [], []
+    for l in range(nl):
+        for b in range(nbm1):
+            for s in range(min(int(counts[b, l]), sp._NSLOT)):
+                ref_pos.append(oix[b, s, l])
+                ref_lo.append(olo[b, s, l])
+                ref_hi.append(ohi[b, s, l])
+    n = len(ref_pos)
+    assert pos[:n].tolist() == ref_pos
+    assert lo[:n].astype(np.int32).tolist() == ref_lo
+    assert hi[:n].astype(np.int32).tolist() == ref_hi
+    assert (pos[n:] == 0).all()
+
+    # per-lane cap overflow must flip slots_ok (host-fallback contract)
+    counts2 = counts.copy()
+    counts2[:, 5] = sp._NSLOT  # one lane over 4*nbm1 emissions
+    oix2 = oix.copy()
+    oix2[:, sp._NSLOT, :] = counts2
+    got2 = sp._compact_slots(
+        jnp.asarray(oix2), jnp.asarray(olo), jnp.asarray(ohi),
+        jnp.asarray(orun), cap,
+    )
+    assert not bool(np.asarray(got2[5]))
