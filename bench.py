@@ -102,6 +102,26 @@ link = {{"upload_mb_s": round(up_mbps, 1), "download_mb_s": round(down_mbps, 1),
         "rtt_ms": round(rtt_ms, 2),
         "link_ceiling_gbps": round(up_mbps * 4 / 1e3, 4)}}
 
+# real-hardware bit-exactness gate: the PRODUCT device path vs the exact
+# native sketcher on a fresh random record (catches Mosaic-vs-interpret
+# drift that the CPU parity suites cannot — every bench run re-proves
+# the device path on the actual chip)
+from ntjoin_tpu.io.native import available as _nat_avail, sketch_codes_native
+from ntjoin_tpu.ops.nthash_np import sketch_codes as _oracle
+
+par_clean = rng.integers(0, 4, size=16_777_216).astype(np.uint8)
+par_clean[2_000_000:2_001_500] = 1  # repeat run: dense tier + expansion
+par_n = rng.integers(0, 4, size=12_000_000).astype(np.uint8)
+par_n[100_000:100_400] = 4  # N runs: segmentation machinery too
+par_n[7_000_000:7_000_050] = 4
+for got_par, rec in zip(
+    sketch_records_pallas([par_clean, par_n], k, w), (par_clean, par_n)
+):
+    ref_par = (sketch_codes_native(rec, k, w) if _nat_avail()
+               else _oracle(rec, k, w))
+    assert got_par.positions.tolist() == ref_par.positions.tolist(), "parity"
+    assert got_par.hashes.tolist() == ref_par.hashes.tolist(), "parity"
+
 # fused single-record throughput, device-resident (sync = count fetch)
 nk = size - k + 1
 halo = w + k - 2
