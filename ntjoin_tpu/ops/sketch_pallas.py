@@ -891,22 +891,27 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     (nbm1, _SLOTS, NL) -> cap-bounded (pos, lo, hi) in ascending
     stream order plus (count, slots_ok).
 
-    Gather-free rank decode (dependent gather rounds cost ~17 ms each on a
-    v5e, so the old radix descent was ~70 ms of the fused path): ranks are
-    contiguous per lane, and the kernel fills slots 0..cnt-1 contiguously
-    within each (lane, block), so the inverse map factors into
-    rank -> lane -> (block, slot) where every level is a fused
-    broadcast-compare reduction over a small cumsum table — no dependent
-    probes.  Only two gather rounds remain: the (lane, j) -> source-index
-    table lookup and the payload fetch.
+    Rank decode in ONE scatter + cummax forward fill: output ranks are
+    lane-major, block order within lane, slot order within block, and the
+    kernel fills slots 0..cnt-1 contiguously — so "rank -> (lane, block,
+    slot)" is the inverse of a monotone step function over (lane, block)
+    start ranks.  Every (lane, block) max-marks its global start rank
+    with its combined lane-major key (ties from empty lanes/blocks
+    resolve to the true owner because the key is monotone in rank order);
+    cummax fills the gaps; slot = rank - owner's start (same
+    scatter+fill).  O(cap) traffic, no per-rank compare tables — the old
+    (cap, nl) broadcast compare measured ~16 ms at 2^27 via slope
+    timing; small `.at[].max` scatters are ~free.  The single remaining
+    gather round fetches all four payload planes batched.
     """
     nbm1, _, nl = oix.shape
     counts_raw = oix[:, _NSLOT, :]  # (nbm1, nl) raw emit counts
     total = jnp.sum(counts_raw)
-    # per-lane padded capacity: j indexes each lane's emissions in order.
-    # Worst legit density is ~4 emissions per w windows (vs ~2 typical);
-    # a lane past cap_pl flips slots_ok and the caller falls back to the
-    # exact full-array path, same contract as slot overflow.
+    # per-lane capacity bound: worst legit density is ~4 emissions per w
+    # windows (vs ~2 typical); a lane past cap_pl flips slots_ok and the
+    # caller falls back to the exact full-array path, same contract as
+    # slot overflow.  (The bound keeps pathological rank ranges out of
+    # the clip below; the decode itself no longer pads per lane.)
     cap_pl = min(nbm1 * _NSLOT, max(4 * nbm1, 64))
     cap_pl = _ceil_to(cap_pl, 8)
     c = jnp.minimum(counts_raw, _NSLOT)  # (nbm1, nl) written slots
@@ -916,57 +921,28 @@ def _compact_slots(oix, olo, ohi, orun, cap: int):
     lane_cum = jnp.cumsum(per_lane)  # (nl,) inclusive
     slots_ok = jnp.all(counts_raw <= _NSLOT) & jnp.all(per_lane <= cap_pl)
 
-    # (lane, j) -> flat source index.  Same scatter + cummax forward-fill
-    # trick as the rank->lane level below (each block max-marks its start
-    # j in its lane's row; empty-block ties resolve to the true owner),
-    # replacing a (nl, nbm1, cap_pl) broadcast compare (~37M elems).
+    # global start rank of every (lane, block) + its lane-major key
+    lane_start = lane_cum - per_lane  # exclusive cumsum (nl,)
     bstart = bcum - cb  # exclusive per-lane block cumsum (nl, nbm1)
+    starts2d = lane_start[:, None] + bstart  # (nl, nbm1) global starts
     li2 = jax.lax.broadcasted_iota(_I32, (nl, nbm1), 0)
     bi2 = jax.lax.broadcasted_iota(_I32, (nl, nbm1), 1)
-    marks_b = jnp.zeros((nl, cap_pl), _I32).at[li2, bstart].max(
-        bi2, mode="drop"
-    )
-    blk_c = jnp.minimum(jax.lax.cummax(marks_b, axis=1), nbm1 - 1)
-    base = jax.lax.cummax(
-        jnp.zeros((nl, cap_pl), _I32).at[li2, bstart].max(
-            bstart, mode="drop"
-        ),
-        axis=1,
-    )
-    j = jax.lax.optimization_barrier(
-        jax.lax.broadcasted_iota(_I32, (1, cap_pl), 1)
-    )
-    slot = jnp.clip(j - base, 0, _NSLOT - 1)
-    li_of = jax.lax.optimization_barrier(
-        jax.lax.broadcasted_iota(_I32, (nl, 1), 0)
-    )
-    # flat index into the kernel's (nbm1, _SLOTS, nl) layout
-    src_tab = (blk_c * _SLOTS + slot) * nl + li_of
+    key2d = li2 * nbm1 + bi2
 
-    # rank -> (lane, j).  The old decode compared every rank against every
-    # lane's cumsum — a (cap, nl) broadcast (~700M bool elems at 2^27,
-    # measured ~16 ms via slope timing).  Ranks within a lane are
-    # contiguous, so the step function inverts with ONE tiny scatter (each
-    # lane marks its start rank; ties from empty lanes resolve by max) and
-    # a cummax forward fill — O(cap) traffic instead of O(cap * nl).
     q = jax.lax.optimization_barrier(
         jax.lax.broadcasted_iota(_I32, (cap, 1), 0)
     )[:, 0]
-    lane_start = lane_cum - per_lane  # exclusive cumsum (nl,)
-    lane_idx = jax.lax.optimization_barrier(
-        jax.lax.broadcasted_iota(_I32, (nl, 1), 0)
-    )[:, 0]
-    marks = jnp.zeros(cap, _I32).at[lane_start].max(
-        lane_idx, mode="drop"
+    owner = jax.lax.cummax(
+        jnp.zeros(cap, _I32).at[starts2d].max(key2d, mode="drop")
     )
-    lane = jax.lax.cummax(marks)  # ranks below lane 0's start: lane 0
-    # the owning lane's start rank, by the same scatter+fill (saves a
-    # whole dependent gather round vs lane_start[lane])
-    base_r = jax.lax.cummax(
-        jnp.zeros(cap, _I32).at[lane_start].max(lane_start, mode="drop")
+    start_r = jax.lax.cummax(
+        jnp.zeros(cap, _I32).at[starts2d].max(starts2d, mode="drop")
     )
-    j_r = jnp.clip(q - base_r, 0, cap_pl - 1)
-    src = src_tab.reshape(-1)[lane * cap_pl + j_r]  # gather round 1
+    lane = owner // nbm1
+    blk = owner - lane * nbm1
+    slot = jnp.clip(q - start_r, 0, _NSLOT - 1)
+    # flat index into the kernel's (nbm1, _SLOTS, nl) layout
+    src = (blk * _SLOTS + slot) * nl + lane
     alive = q < total
     # one batched payload gather round: the four slot planes stack into a
     # single (4, nbm1*_SLOTS*nl) array so the fetches share one gather
