@@ -235,6 +235,69 @@ def main() -> int:
             "ms": ms, "gbps": round(size / (ms / 1e3) / 1e9, 2),
         })
 
+        # scans-vs-assembly attribution: the non-slot window kernel runs
+        # the same Van Herk scans but writes the full per-window argmin
+        # instead of the emission/slot assembly — its slope bounds the
+        # scan cost (plus a 536 MB ix write)
+        from ntjoin_tpu.ops.sketch_pallas import (
+            _MAXU as _MX, _SUB as _SB, _window_chunked,
+        )
+
+        hash_rows2 = L + w - 1
+        nb2 = -(-hash_rows2 // w) + 1
+        rows_p2 = nb2 * w
+
+        @jax.jit
+        def build_gm(codes_padded):
+            sections = -(-(L + halo) // L)
+            blocks = [
+                codes_padded[s * L: (s + _CHUNKS) * L].reshape(_CHUNKS, L).T
+                for s in range(sections)
+            ]
+            x8 = jnp.concatenate(blocks, axis=0)[: L + halo]
+            x8 = jnp.pad(
+                x8, ((0, code_rows - L - halo), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            x8 = x8.reshape(code_rows, _SB, 128)
+            x_lag = jnp.pad(
+                x8[: code_rows - k], ((k, 0), (0, 0), (0, 0)),
+                constant_values=CODE_INVALID,
+            )
+            from ntjoin_tpu.ops.sketch_pallas import _hash_chunked
+
+            h_lo, h_hi, _ = _hash_chunked.__wrapped__(
+                x8, x_lag, k, interpret=interp
+            )
+            h_lo = jax.lax.slice_in_dim(h_lo, k - 1, k - 1 + hash_rows2)
+            h_hi = jax.lax.slice_in_dim(h_hi, k - 1, k - 1 + hash_rows2)
+            pad_rows = rows_p2 - hash_rows2
+            h_lo = jnp.pad(
+                h_lo, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MX
+            )
+            h_hi = jnp.pad(
+                h_hi, ((0, pad_rows), (0, 0), (0, 0)), constant_values=_MX
+            )
+            return h_lo.transpose(1, 0, 2), h_hi.transpose(1, 0, 2)
+
+        try:
+            gmt_lo, gmt_hi = build_gm(dev)
+            sync_scalar(gmt_lo[:1, :1, :1])
+            l_arr = jnp.asarray(np.full(1, L, np.int32))
+
+            @jax.jit
+            def scan_only(a, b):
+                wix = _window_chunked.__wrapped__(
+                    a, b, l_arr, w, interpret=interp
+                )
+                return wix[0, 0, 0] + wix[-1, -1, -1]
+
+            ms = slope_ms(lambda: scan_only(gmt_lo, gmt_hi), sync_scalar)
+            emit("slope_scanonly_window_ms", ms)
+            del gmt_lo, gmt_hi
+        except Exception as e:  # noqa: BLE001
+            emit("slope_scanonly_window_ms", f"fail {type(e).__name__}")
+
         # Brent-Kung scans under honest timing (the sync-floor hid any
         # effect in the earlier sweep)
         os.environ["NTJOIN_TPU_SCAN"] = "bk"
