@@ -203,18 +203,33 @@ def sketch_sharded(
 
 
 def sketch_records_sharded(
-    codes_list, k: int, w: int, mesh: Mesh | None = None
+    codes_list, k: int, w: int, mesh: Mesh | None = None,
+    max_inflight_bases: int = 256_000_000,
 ) -> list[Sketch]:
     """Mesh-sharded sketch of many records, pipelined.
 
-    All records' tiles are dispatched onto the device stream before any
-    result is fetched, so record r+1's upload/compute overlaps record r's
-    download (the per-record dispatch-then-sync loop serialized the
-    round-4 scaling path).
+    Records' tiles are dispatched onto the device stream ahead of the
+    fetches, so record r+1's upload/compute overlaps record r's download
+    (the per-record dispatch-then-sync loop serialized the round-4
+    scaling path).  The in-flight window is bounded by total bases: each
+    dispatched record holds ~12 B/base of device output until resolved,
+    so an unbounded dispatch of a Gbp-scale assembly would exhaust HBM.
     """
     mesh = mesh or make_mesh()
-    states = [_dispatch_sharded(np.asarray(c), k, w, mesh) for c in codes_list]
-    return [_resolve_sharded(st) for st in states]
+    out: list[Sketch] = []
+    states: list = []
+    inflight = 0
+    for c in codes_list:
+        c = np.asarray(c)
+        states.append((_dispatch_sharded(c, k, w, mesh), c.shape[0]))
+        inflight += c.shape[0]
+        while inflight > max_inflight_bases and states:
+            st, nb = states.pop(0)
+            out.append(_resolve_sharded(st))
+            inflight -= nb
+    for st, _ in states:
+        out.append(_resolve_sharded(st))
+    return out
 
 
 def distributed_unique_count(mesh: Mesh, hash_lo, hash_hi, counts):
