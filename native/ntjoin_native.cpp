@@ -336,6 +336,9 @@ int64_t nj_write_fai(const char* path, const char* out_path) {
   int64_t pos = 0, count = 0;
   auto flush_record = [&]() {
     if (have) {
+      // the final sequence line may be SHORTER than linebases but never
+      // longer (byte arithmetic would walk into a phantom next line)
+      if (!first_line && prev_stripped > linebases) uniform = false;
       int64_t lb = uniform ? linebases : 0;
       int64_t lw = uniform ? linewidth : 0;
       fprintf(out, "%s\t%lld\t%lld\t%lld\t%lld\n", name.c_str(),

@@ -268,12 +268,16 @@ def _ensure_sketch(
         if mesh is not None:
             from ntjoin_tpu.parallel.mesh import sketch_records_sharded
 
-            # pipelined: every record's tiles dispatch before any fetch
-            sketches = sketch_records_sharded(
-                [r.codes for r in records], k, w, mesh
-            )
-            for r in records:
-                r._codes = None  # drop per-record code cache (Gbp-scale RSS)
+            # pipelined dispatch via a generator that drops each record's
+            # code cache as it is consumed — a materialized list would hold
+            # the whole assembly's codes at once (Gbp-scale RSS)
+            def _codes_stream():
+                for r in records:
+                    c = r.codes
+                    r._codes = None
+                    yield c
+
+            sketches = sketch_records_sharded(_codes_stream(), k, w, mesh)
         elif batched:
             # one device program for the whole assembly
             sketches = sketch_records_pallas([r.codes for r in records], k, w)
@@ -381,12 +385,15 @@ def assemble(words: list[str]) -> int:
         try:
             if fa.endswith(".gz"):
                 # uncompressed size from the gzip ISIZE trailer (mod 2^32,
-                # exact for <4 GiB members — FASTA gzips ~4x, so raw file
-                # size would undercount the routing input ~4x)
+                # exact for single <4 GiB members).  Multi-member files
+                # (concatenated gzips, bgzip) report only the LAST
+                # member's size there, so never go below the ~4x FASTA
+                # compression heuristic — overestimating just costs a
+                # device probe, underestimating would skip it.
                 with open(fa, "rb") as fh:
                     fh.seek(-4, os.SEEK_END)
                     isize = int.from_bytes(fh.read(4), "little")
-                total_bases += isize or 4 * os.path.getsize(fa)
+                total_bases += max(isize, 4 * os.path.getsize(fa))
             else:
                 total_bases += os.path.getsize(fa)
         except OSError:

@@ -170,11 +170,14 @@ def remove_flagged_edges(
 
     Mirror of the reference's ``remove_flagged_edges``
     (``ntjoin_utils.py:58-62``): the input graph is left untouched and a
-    pruned copy is returned.
+    pruned copy is returned.  Only the alive mask is duplicated — the
+    edge arrays are shared (mutated nowhere; a deepcopy of a Gbp-scale
+    graph would duplicate millions of edges to flip a few bits).
     """
     import copy
 
-    out = copy.deepcopy(graph)
+    out = copy.copy(graph)
+    out.alive = graph.alive.copy()
     ids = np.asarray(edge_ids, dtype=np.int64)
     if ids.size:
         out.alive[ids] = False

@@ -150,6 +150,17 @@ class FastaStore:
                 end < size and self._mm[end : end + 1] not in (b"\n", b"\r")
             ):
                 self._ragged[name] = None
+            elif i == len(self._order) - 1:
+                # LAST record: the end-byte check is weak (predicted end
+                # can coincide with EOF even when ragged), so also require
+                # the record's byte span to equal the predicted layout's
+                # (bases + per-line newline bytes, minus the final line's
+                # newline when the file doesn't end with one)
+                nlb = lw - lb
+                trailing = size > 0 and self._mm[size - 1 : size] == b"\n"
+                expected = length + nlines * nlb - (0 if trailing else nlb)
+                if size - offset != expected:
+                    self._ragged[name] = None
 
     def names(self) -> list[str]:
         return list(self._order)
@@ -246,8 +257,12 @@ def write_fai(path: str, out_path: str | None = None) -> str:
         pos = 0
 
         def _flush():
-            lb = linebases if uniform else 0
-            lw = linewidth if uniform else 0
+            # the final sequence line may be SHORTER than linebases but
+            # never longer (offset arithmetic would walk into a phantom
+            # next line)
+            ok = uniform and (first_line or prev_stripped <= linebases)
+            lb = linebases if ok else 0
+            lw = linewidth if ok else 0
             rows.append((name, length, offset, lb, lw))
 
         for raw in fh:

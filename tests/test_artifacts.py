@@ -301,3 +301,35 @@ def test_auto_routing_gz_size_estimate(tmp_path, monkeypatch):
         ])
     # two inputs x ~200 kbp each, not 2 x ~55 kB of compressed bytes
     assert seen["bases"] > 390_000
+
+
+def test_fasta_store_ragged_last_line_longer(tmp_path):
+    """A FINAL record whose last sequence line is LONGER than linebases
+    must be detected by both fai writers (flush-time check) and by the
+    stale-fai byte-span spot check (round-5 review finding)."""
+    from ntjoin_tpu.io.fasta import FastaStore, write_fai
+
+    fa = tmp_path / "last.fa"
+    seq = "ACGTAC" + "GTCAGTCAGT"  # lines 6 then 10 (longer than first)
+    fa.write_text(">r\nACGTAC\nGTCAGTCAGT\n")
+
+    # our writers mark it ragged
+    write_fai(str(fa))
+    row = (tmp_path / "last.fa.fai").read_text().split("\t")
+    assert row[3:5] == ["0", "0\n"], row
+    store = FastaStore(str(fa))
+    assert store.subseq("r", 12, 16) == seq[12:16] == "CAGT"
+    assert store.subseq("r", 0, 16) == seq
+    store.close()
+
+    # a stale uniform-claiming .fai is caught by the byte-span check
+    import os as _os
+    import time as _time
+
+    with open(str(fa) + ".fai", "w") as fh:
+        fh.write("r\t16\t3\t6\t7\n")
+    now = _time.time() + 5
+    _os.utime(str(fa) + ".fai", (now, now))
+    store2 = FastaStore(str(fa))
+    assert store2.subseq("r", 12, 16) == "CAGT"
+    store2.close()

@@ -76,3 +76,16 @@ def test_distributed_unique_count(mesh8):
     assert int(np.asarray(uniq)[0]) == expect
     assert (np.asarray(uniq) == expect).all()
     assert int(np.asarray(total)[0]) == 8 * per
+
+
+def test_sketch_sharded_all_n_record():
+    """A record with zero valid k-mers (all-N placeholder scaffold) must
+    return an empty sketch, not crash the vectorized tiling (round-5
+    review finding)."""
+    import numpy as np
+
+    from ntjoin_tpu.parallel.mesh import make_mesh, sketch_sharded
+
+    codes = np.full(200_000, 4, dtype=np.uint8)
+    got = sketch_sharded(codes, 32, 1000, make_mesh(8))
+    assert got.positions.size == 0 and got.hashes.size == 0
