@@ -8,6 +8,7 @@ emit scaffold FASTA / .path / AGP / unassigned artifacts byte-compatibly.
 """
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import re
@@ -40,6 +41,7 @@ from ntjoin_tpu.graph.mingraph import build_graph
 from ntjoin_tpu.graph.paths import find_paths
 from ntjoin_tpu.io.fasta import FastaStore, reverse_complement
 from ntjoin_tpu.ops.intervals import complement, self_intersect_counts, sort_beds
+from ntjoin_tpu.utils.atomic import atomic_write
 
 # Load-bearing naming convention: the target FASTA path is derived from the
 # TSV filename (reference ``ntjoin_assemble.py:535,764``).
@@ -282,8 +284,6 @@ class Scaffolder:
         cfg = self.cfg
         seg_path = cfg.prefix + ".segments.fa"
         trim_jobs = []
-        from ntjoin_tpu.utils.atomic import atomic_write
-
         with atomic_write(seg_path) as seg_file:
             for path in paths:
                 nodes = [n for n in path if n.ori != "?"]
@@ -340,10 +340,6 @@ class Scaffolder:
         ct = 0
         # tmp+rename (utils/atomic): a crash mid-emission must not leave
         # fresh-mtimed partial artifacts (reference .DELETE_ON_ERROR parity)
-        import contextlib
-
-        from ntjoin_tpu.utils.atomic import atomic_write
-
         with contextlib.ExitStack() as stack:
             agp_file = (
                 stack.enter_context(atomic_write(cfg.prefix + ".agp"))
@@ -405,8 +401,6 @@ class Scaffolder:
         out_path = (
             f"{self.assembly_fa}{self.params}.n{cfg.n}.unassigned.scaffolds.fa"
         )
-        from ntjoin_tpu.utils.atomic import atomic_write
-
         with atomic_write(out_path) as out:
             for bed in missing:
                 header = f"{bed.contig}:{bed.start}-{bed.end}"

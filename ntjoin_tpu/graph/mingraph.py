@@ -17,6 +17,8 @@ The ``alive`` mask supports the downstream edge filters without copying
 """
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 
 from ntjoin_tpu.core.assembly import SharedIndex
@@ -31,13 +33,17 @@ except ImportError:  # pragma: no cover
 class MinimizerGraph:
     """Undirected multigraph-free edge list over SharedIndex node ids."""
 
-    def __init__(self, num_nodes, src, dst, weight, support_mask):
+    def __init__(self, num_nodes, src, dst, weight, support_mask,
+                 node_hash=None):
         self.num_nodes = int(num_nodes)
         self.src = src
         self.dst = dst
         self.weight = weight
         self.support_mask = support_mask
         self.alive = np.ones(src.shape[0], dtype=bool)
+        # ascending minimizer hash per node id (the SharedIndex universe);
+        # lets incremental extension translate between id spaces
+        self.node_hash = node_hash
         # set by ops.device_index.build_graph_device: component labelling
         # runs on device (ops/cc_jax.py), bit-identical labels
         self.use_device_cc = False
@@ -124,7 +130,8 @@ def build_graph(shared: SharedIndex) -> MinimizerGraph:
     if not us:
         e = np.empty(0, dtype=np.int32)
         return MinimizerGraph(
-            shared.num_nodes, e, e, np.empty(0), np.empty(0, dtype=np.int64)
+            shared.num_nodes, e, e, np.empty(0), np.empty(0, dtype=np.int64),
+            node_hash=shared.node_hash,
         )
     u = np.concatenate(us)
     v = np.concatenate(vs)
@@ -155,6 +162,7 @@ def build_graph(shared: SharedIndex) -> MinimizerGraph:
         v_s[starts][first_order].astype(np.int32),
         grp_weight[first_order],
         grp_mask[first_order],
+        node_hash=shared.node_hash,
     )
 
 
@@ -174,8 +182,6 @@ def remove_flagged_edges(
     edge arrays are shared (mutated nowhere; a deepcopy of a Gbp-scale
     graph would duplicate millions of edges to flip a few bits).
     """
-    import copy
-
     out = copy.copy(graph)
     out.alive = graph.alive.copy()
     ids = np.asarray(edge_ids, dtype=np.int64)
@@ -200,52 +206,67 @@ def extend_graph(
     reference's ``build_graph(..., black_list=...)`` pruning
     (``ntjoin_utils.py:109-113``): blacklisted minimizers are barred from
     entering the graph as NEW vertices, so fresh edges incident to a
-    blacklisted minimizer that the base graph does not already touch are
+    blacklisted minimizer outside the base graph's vertex universe are
     dropped.  (In the reference the un-added vertex makes those edges
     unconstructable; here vertices are implicit array indices, so the
     equivalent is dropping the edges directly.)
+
+    Id spaces: base node ids index the base build's SharedIndex hash
+    universe and fresh ids the new one — these DIFFER whenever the shared
+    hash set changed, so everything here translates through the node
+    HASHES (carried on the graphs by ``build_graph``) into the union
+    universe, exactly like the reference's named igraph vertices.
+    Already-present detection considers only ALIVE base edges: a pair
+    pruned via :func:`remove_flagged_edges` is re-addable with fresh
+    attributes, like the reference's physically deleted edges.
     """
     fresh = build_graph(shared)
     if base.src.size == 0 and black_list is None:
         return fresh
+    if base.node_hash is None:
+        raise ValueError("base graph lacks node_hash (not from build_graph)")
 
-    def canon_keys(g):
-        lo = np.minimum(g.src, g.dst).astype(np.int64)
-        hi = np.maximum(g.src, g.dst).astype(np.int64)
-        return lo * np.int64(g.num_nodes) + hi
+    base_hash = np.asarray(base.node_hash, dtype=np.uint64)
+    new_hash = np.asarray(shared.node_hash, dtype=np.uint64)
+    union = np.union1d(base_hash, new_hash)  # ascending
+    m = np.int64(union.shape[0])
+    b_map = np.searchsorted(union, base_hash)  # base id -> union id
+    f_map = np.searchsorted(union, new_hash)  # fresh id -> union id
 
-    base_keys = np.sort(canon_keys(base))
-    fresh_keys = canon_keys(fresh)
+    def canon_keys(src, dst, idmap):
+        lo = idmap[src].astype(np.int64)
+        hi = idmap[dst].astype(np.int64)
+        return np.minimum(lo, hi) * m + np.maximum(lo, hi)
+
+    base_keys = np.sort(
+        canon_keys(base.src[base.alive], base.dst[base.alive], b_map)
+    )
+    fresh_keys = canon_keys(fresh.src, fresh.dst, f_map)
     is_new = ~np.isin(fresh_keys, base_keys)
 
     if black_list is not None:
         bl = np.fromiter(
             (np.uint64(h) for h in black_list), dtype=np.uint64
         )
-        node_black = np.isin(shared.node_hash, bl)
-        in_base = np.zeros(
-            max(base.num_nodes, fresh.num_nodes), dtype=bool
+        # "existing vertex" = any hash of the base universe (isolated
+        # vertices included — the reference adds every streamed minimizer
+        # as a vertex, edges or not)
+        blocked = np.isin(union, bl) & ~np.isin(union, base_hash)
+        is_new &= ~(
+            blocked[f_map[fresh.src]] | blocked[f_map[fresh.dst]]
         )
-        in_base[base.src] = True
-        in_base[base.dst] = True
-        blocked = node_black & ~in_base[: node_black.shape[0]]
-        is_new &= ~(blocked[fresh.src] | blocked[fresh.dst])
-        if base.src.size == 0:
-            keep = np.flatnonzero(is_new)
-            return MinimizerGraph(
-                fresh.num_nodes,
-                fresh.src[keep],
-                fresh.dst[keep],
-                fresh.weight[keep],
-                fresh.support_mask[keep],
-            )
 
     merged = MinimizerGraph(
-        max(base.num_nodes, fresh.num_nodes),
-        np.concatenate([base.src, fresh.src[is_new]]),
-        np.concatenate([base.dst, fresh.dst[is_new]]),
+        int(m),
+        np.concatenate(
+            [b_map[base.src], f_map[fresh.src[is_new]]]
+        ).astype(np.int32),
+        np.concatenate(
+            [b_map[base.dst], f_map[fresh.dst[is_new]]]
+        ).astype(np.int32),
         np.concatenate([base.weight, fresh.weight[is_new]]),
         np.concatenate([base.support_mask, fresh.support_mask[is_new]]),
+        node_hash=union,
     )
     merged.alive[: base.src.shape[0]] = base.alive
 

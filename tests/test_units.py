@@ -583,3 +583,75 @@ def test_device_probe_cache_roundtrip(tmp_path, monkeypatch):
     cache.write_text(f"{_t.time()} ok")
     healthy, op_ms = cli._device_probe()
     assert healthy and op_ms > 1e6
+
+
+class TestIncrementalGraphIdSpaces:
+    """Round-5 review: base and fresh graphs may index DIFFERENT shared
+    hash universes; extend_graph must translate through hashes."""
+
+    @staticmethod
+    def _asm(name, weight, hashes):
+        from ntjoin_tpu.core.assembly import AssemblySketch
+
+        return AssemblySketch.from_stream(
+            name, weight, ["c"],
+            np.array(hashes, dtype=np.uint64),
+            np.arange(len(hashes), dtype=np.int64) * 100,
+            np.zeros(len(hashes), dtype=np.int32),
+        )
+
+    def _pairs(self, g):
+        nh = g.node_hash
+        return {
+            tuple(sorted((int(nh[s]), int(nh[t]))))
+            for s, t in zip(g.src[g.alive], g.dst[g.alive])
+        }
+
+    def test_extend_with_shifted_id_space(self):
+        """New hashes sorting BELOW the base universe shift every id;
+        edges must still dedupe/merge by hash identity."""
+        from ntjoin_tpu.core.assembly import SharedIndex
+        from ntjoin_tpu.graph.mingraph import build_graph, extend_graph
+
+        base_shared = SharedIndex(
+            [self._asm("a", 2.0, [20, 30]), self._asm("b", 1.0, [20, 30])]
+        )
+        g1 = build_graph(base_shared)
+        assert self._pairs(g1) == {(20, 30)}
+        # 10 sorts below everything: fresh ids are shifted by one
+        ext = SharedIndex(
+            [self._asm("a", 2.0, [10, 20, 30]),
+             self._asm("b", 1.0, [10, 20, 30])]
+        )
+        g2 = extend_graph(g1, ext)
+        # 20-30 kept from base (not duplicated), 10-20 added
+        assert self._pairs(g2) == {(10, 20), (20, 30)}
+        assert g2.num_edges == 2
+
+        # blacklisted NEW minimizer 10: its edge is pruned even though
+        # its fresh id (0) aliases base id 0 (= hash 20)
+        g3 = extend_graph(g1, ext, black_list=[10])
+        assert self._pairs(g3) == {(20, 30)}
+
+        # blacklisted but ALREADY a base-universe vertex: exempt
+        g4 = extend_graph(g1, ext, black_list=[20])
+        assert self._pairs(g4) == {(10, 20), (20, 30)}
+
+    def test_removed_edge_is_readdable(self):
+        """A pair pruned via remove_flagged_edges must be re-addable by a
+        later extend (the reference physically deletes edges, so its
+        incremental build re-adds them)."""
+        from ntjoin_tpu.core.assembly import SharedIndex
+        from ntjoin_tpu.graph.mingraph import (
+            build_graph, extend_graph, remove_flagged_edges,
+        )
+
+        shared = SharedIndex(
+            [self._asm("a", 2.0, [5, 6, 7]), self._asm("b", 1.0, [5, 6, 7])]
+        )
+        g = build_graph(shared)
+        assert g.num_edges == 2
+        g2 = remove_flagged_edges(g, [0])
+        assert g2.num_edges == 1
+        g3 = extend_graph(g2, shared)
+        assert self._pairs(g3) == {(5, 6), (6, 7)}
