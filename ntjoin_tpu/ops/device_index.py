@@ -190,6 +190,13 @@ def shared_index_device(assemblies):
 
     enable_compile_cache()
     n_asm = len(assemblies)
+    # device positions are int32: a >= 2^31 bp contig (its sketch came
+    # from the host path, which has no size limit) would WRAP silently in
+    # the astype below — fall back to the bit-exact host index instead,
+    # the same discipline as every other device-capacity limit here
+    for a in assemblies:
+        if a.pos.size and int(a.pos.max()) >= 2**31:
+            return SharedIndex(assemblies)
     lens = [a.hash.shape[0] for a in assemblies]
     total = sum(lens)
     padded = _bucket(max(total, 1))

@@ -76,7 +76,25 @@ def edge_tally(node_ids, ctg_ids, asm_ids, weights, num_nodes):
     Returns per consecutive-pair-slot (lo, hi, weight, support) arrays with
     a validity mask (pairs crossing contig/assembly boundaries are dead);
     grouping/dedup happens via sort.
+
+    Weight exactness: the weight sum is an UNORDERED float32 scatter-add,
+    which matches the host's sequential float64 ``np.add.reduceat`` only
+    when addition cannot round — guaranteed here by requiring integer
+    weights with an f32-exact total bound (integer f32 arithmetic below
+    2^24 is associative).  Non-integer weights raise; the product device
+    path (``ops/device_index.py``) instead tallies integer per-assembly
+    counts on device and replays the host float64 reduction exactly.
     """
+    w_np = np.asarray(weights, dtype=np.float64)
+    if w_np.size and (
+        np.any(w_np != np.rint(w_np))
+        or np.abs(w_np).max() * max(int(np.shape(node_ids)[0]), 1) >= 2**24
+    ):
+        raise ValueError(
+            "edge_tally's unordered f32 weight sum is only byte-exact for "
+            "small integer weights; use the host build_graph or the "
+            "device_index exact tally for fractional weights"
+        )
     n_asm = np.shape(np.asarray(weights))[0]
     if n_asm > 32:
         raise ValueError(

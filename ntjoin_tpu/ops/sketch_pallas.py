@@ -1759,7 +1759,11 @@ def sketch_codes_pallas(
     n = int(codes.shape[0])
     if k > n or w > n - k + 1:
         return empty
-    if n >= (1 << 31) - (1 << 20):  # i32 device position guard
+    if n >= (1 << 31) - (1 << 22):
+        # i32 device guard: the margin covers DERIVED lengths too —
+        # buflen = CHUNKS*L + code_rows exceeds n by up to ~L + halo +
+        # flush padding (~1.1M at default shapes), which overflowed int32
+        # buffer literals under the old 2^20 margin (round-5 review)
         return _host_sketch(codes, k, w)
     nk = n - k + 1
     halo = w + k - 2
@@ -1776,26 +1780,23 @@ def sketch_codes_pallas(
         # pseudo-records + host junction patches (or the device
         # stream-compaction path for pathological N densities)
         return sketch_records_pallas([codes], k, w, interpret)[0]
-    if len(runs) <= _RUN_CAP:
-        # 2-bit packed upload (4x less tunnel traffic); invalid runs are
-        # painted on device by _prep_codes
-        nbytes = -(-buflen // 4)
-        pb = np.zeros(nbytes, dtype=np.uint8)
-        _pack2_host(codes, pb, 0)
-        runs.append((n, 4 * nbytes))  # buffer tail padding
-        rcap = 1024
-        while rcap < len(runs):
-            rcap *= 2
-        starts = np.full(rcap, 4 * nbytes, dtype=np.int32)
-        ends = np.full(rcap, 4 * nbytes, dtype=np.int32)
-        for i, (s, e) in enumerate(runs):
-            starts[i] = s
-            ends[i] = e
-        dev = _prep_codes(pb, starts, ends)  # jit transfers its own args
-    else:  # pathological run count: ship plain int8
-        buf = np.full(buflen, CODE_INVALID, dtype=np.int8)
-        buf[:n] = codes
-        dev = jnp.asarray(buf)
+    # N-free record: 2-bit packed upload (4x less tunnel traffic); only
+    # the buffer-tail run is painted on device by _prep_codes (records
+    # WITH invalid runs took the batched path above — the _RUN_CAP gate
+    # for pathological run counts lives in _start_batch)
+    nbytes = -(-buflen // 4)
+    pb = np.zeros(nbytes, dtype=np.uint8)
+    _pack2_host(codes, pb, 0)
+    runs.append((n, 4 * nbytes))  # buffer tail padding
+    rcap = 1024
+    while rcap < len(runs):
+        rcap *= 2
+    starts = np.full(rcap, 4 * nbytes, dtype=np.int32)
+    ends = np.full(rcap, 4 * nbytes, dtype=np.int32)
+    for i, (s, e) in enumerate(runs):
+        starts[i] = s
+        ends[i] = e
+    dev = _prep_codes(pb, starts, ends)  # jit transfers its own args
     # escalating emission caps: tight first (binary-search compaction cost
     # scales with cap), a 4x retry for repeat-dense inputs, host for the
     # truly pathological (emission density near 1/window)
@@ -1973,7 +1974,7 @@ def _batch_i32_safe() -> int:
     batch's upload — 64 MB measured best on a 134 Mbp assembly (1.00 s
     vs 1.28 s single-batch; 16-32 MB drown in per-batch fixed costs)."""
     return min(
-        (1 << 31) - (1 << 20),
+        (1 << 31) - (1 << 22),  # margin covers derived buffer slack too
         int(os.environ.get("NTJOIN_TPU_BATCH_BASES", 64 * 2**20)),
     )
 
@@ -2291,7 +2292,7 @@ def sketch_records_pallas(
     segmented: set[int] = set()
     fallback_old: list[int] = []
     fallback_host: list[int] = []
-    i32_cap = (1 << 31) - (1 << 20)  # device positions are int32
+    i32_cap = (1 << 31) - (1 << 22)  # i32 positions + derived-buffer slack
     for i, c in enumerate(codes_list):
         c = np.asarray(c)
         if c.shape[0] >= i32_cap:

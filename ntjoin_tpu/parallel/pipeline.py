@@ -113,6 +113,16 @@ def distributed_assemble(cfg: DistributedConfig, sketch_fn=None) -> None:
                 continue
             sk = sketch_fn(rec.codes, k, w)
             m = sk.hashes.shape[0]
+            if m and int(sk.positions.max()) >= 2**31:
+                # the survivor-exchange rows transport positions as int32;
+                # wrapping would silently break the byte-identical-to-
+                # single-process contract, so fail loudly (the
+                # single-process host path handles such contigs fine)
+                raise ValueError(
+                    f"record {rec.id!r} has minimizer positions >= 2^31; "
+                    "distributed mode cannot transport them — run "
+                    "single-process for assemblies with >2.1 Gbp contigs"
+                )
             asms.append(np.full(m, a, np.int32))
             ctgs.append(np.full(m, ri, np.int32))
             poss.append(sk.positions.astype(np.int32))

@@ -137,3 +137,28 @@ def test_empty_intersection():
     assert dev.num_nodes == 0
     g = build_graph_device(dev)
     assert g.num_edges == 0
+
+
+def test_shared_index_device_big_position_fallback():
+    """Positions >= 2^31 cannot ride the device's int32 arrays: the
+    device index must fall back to the bit-exact host SharedIndex
+    instead of silently wrapping (round-5 review)."""
+    import numpy as np
+
+    from ntjoin_tpu.core.assembly import AssemblySketch, SharedIndex
+    from ntjoin_tpu.ops.device_index import shared_index_device
+
+    def asm(name, pos0):
+        return AssemblySketch.from_stream(
+            name, 1.0, ["c"],
+            np.array([11, 22, 33], dtype=np.uint64),
+            np.array([pos0, pos0 + 100, pos0 + 200], dtype=np.int64),
+            np.zeros(3, dtype=np.int32),
+        )
+
+    big = 2**31 + 5
+    got = shared_index_device([asm("a", big), asm("b", 0)])
+    ref = SharedIndex([asm("a", big), asm("b", 0)])
+    assert got.node_hash.tolist() == ref.node_hash.tolist()
+    assert (got.pos == ref.pos).all()  # no int32 wrap
+    assert int(got.pos.max()) > 2**31

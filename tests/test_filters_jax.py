@@ -108,3 +108,15 @@ def test_edge_tally_matches_host_graph():
         key = tuple(sorted((int(host.src[i]), int(host.dst[i]))))
         expect[key] = (float(host.weight[i]), int(host.support_mask[i]))
     assert got == expect
+
+
+def test_edge_tally_rejects_fractional_weights():
+    """The unordered f32 weight scatter-add is only byte-exact for small
+    integer weights (round-5 review): fractional weights must raise."""
+    import pytest
+
+    ids = np.array([0, 1, 2], np.int32)
+    ctg = np.zeros(3, np.int32)
+    asm = np.zeros(3, np.int32)
+    with pytest.raises(ValueError, match="byte-exact"):
+        edge_tally(ids, ctg, asm, np.array([0.1]), 3)
