@@ -91,6 +91,15 @@ _LOCAL_MIN_BASES = 8_000_000  # local device wins early (compile amortized)
 _RELAY_MIN_BASES = 4_000_000_000  # relay: host native wins at human scale
 
 
+def _auto_thresholds() -> tuple[int, int]:
+    """(local_min, relay_min) routing thresholds, env-overridable — parsed
+    in ONE place so probe gating and the routing decision cannot drift."""
+    return (
+        int(os.environ.get("NTJOIN_TPU_AUTO_LOCAL_MIN", _LOCAL_MIN_BASES)),
+        int(os.environ.get("NTJOIN_TPU_AUTO_RELAY_MIN", _RELAY_MIN_BASES)),
+    )
+
+
 def _device_probe(
     timeout: float = 45.0, cache_negative: bool = True
 ) -> tuple[bool, float]:
@@ -164,8 +173,7 @@ def _auto_wants_device(total_bases: int | None, op_ms: float) -> bool:
     via NTJOIN_TPU_AUTO_LOCAL_MIN / NTJOIN_TPU_AUTO_RELAY_MIN.
     """
     bases = total_bases or 0
-    local_min = int(os.environ.get("NTJOIN_TPU_AUTO_LOCAL_MIN", _LOCAL_MIN_BASES))
-    relay_min = int(os.environ.get("NTJOIN_TPU_AUTO_RELAY_MIN", _RELAY_MIN_BASES))
+    local_min, relay_min = _auto_thresholds()
     if op_ms <= _LOCAL_OP_MS:
         return bases >= local_min
     return bases >= relay_min
@@ -182,12 +190,7 @@ def _sketch_backend(name: str, total_bases: int | None = None):
     """
     if name == "auto":
         bases = total_bases or 0
-        local_min = int(
-            os.environ.get("NTJOIN_TPU_AUTO_LOCAL_MIN", _LOCAL_MIN_BASES)
-        )
-        relay_min = int(
-            os.environ.get("NTJOIN_TPU_AUTO_RELAY_MIN", _RELAY_MIN_BASES)
-        )
+        local_min, relay_min = _auto_thresholds()
         if bases < local_min:
             healthy = False  # too small for any device: skip the probe
         elif bases < relay_min:
@@ -238,21 +241,27 @@ def _ensure_sketch(
         and os.path.exists(tsv)
         and os.path.getmtime(tsv) >= os.path.getmtime(fasta)
     )
+    # the .fai artifact has its own Make-style freshness (a regenerated
+    # FASTA must not keep an index with the old byte offsets, and a
+    # deleted .fai must come back even when the TSV is fresh)
+    fai = fasta + ".fai"
+    if force or not os.path.exists(fai) or (
+        os.path.getmtime(fai) < os.path.getmtime(fasta)
+    ):
+        write_fai(fasta)
     if fresh:
         return tsv, None
     with timers.stage(f"sketch:{os.path.basename(fasta)}"):
         records = read_fasta(fasta)
-        try:
-            from ntjoin_tpu.ops.sketch_pallas import (
-                sketch_codes_pallas,
-                sketch_records_pallas,
-            )
-
-            batched = backend is sketch_codes_pallas
-        except Exception:  # pragma: no cover
-            batched = False
+        # identify the pallas batched entry WITHOUT importing jax: pure-host
+        # runs (backend=native/numpy) must not pay the multi-second jax
+        # import (under the axon sitecustomize it also dials the TPU)
         is_jax_backend = backend.__module__.endswith(
             ("sketch_pallas", "sketch_jax")
+        )
+        batched = (
+            is_jax_backend
+            and getattr(backend, "__name__", "") == "sketch_codes_pallas"
         )
         mesh = None
         if is_jax_backend and os.environ.get("NTJOIN_TPU_MESH", "auto") != "off":
@@ -279,6 +288,8 @@ def _ensure_sketch(
 
             sketches = sketch_records_sharded(_codes_stream(), k, w, mesh)
         elif batched:
+            from ntjoin_tpu.ops.sketch_pallas import sketch_records_pallas
+
             # one device program for the whole assembly
             sketches = sketch_records_pallas([r.codes for r in records], k, w)
             for r in records:
@@ -289,8 +300,6 @@ def _ensure_sketch(
                 sketches.append(backend(rec.codes, k, w))
                 rec._codes = None  # drop per-record code cache
         write_minimizer_tsv(tsv, records, sketches, k)
-        if not os.path.exists(fasta + ".fai") or force:
-            write_fai(fasta)
     import numpy as np
 
     hs, ps, cs = [], [], []
@@ -446,11 +455,15 @@ def assemble(words: list[str]) -> int:
     base = f"{v['target']}.k{k}.w{w}.n{n}"
     from ntjoin_tpu.utils.atomic import atomic_write
 
-    with atomic_write(f"{base}.all.scaffolds.fa") as out:
+    import shutil
+
+    with atomic_write(f"{base}.all.scaffolds.fa", mode="wb") as out:
         for part in (f"{base}.assigned.scaffolds.fa", f"{base}.unassigned.scaffolds.fa"):
             if os.path.exists(part):
-                with open(part, encoding="utf-8") as fh:
-                    out.write(fh.read())
+                # streamed binary copy: fh.read() here was a whole-genome
+                # transient string (~3 GB at the north-star config)
+                with open(part, "rb") as fh:
+                    shutil.copyfileobj(fh, out, length=16 << 20)
     if _truthy(v["gzip"]):
         # mirror of the reference's ``%.fa.gz: %.fa`` rule (ntJoin:109-114,
         # 210-211): pigz -p$t -f when available, else gzip -f — either way

@@ -194,23 +194,24 @@ def _write_dot_native(out_path: str, graph, shared, colours) -> bool:
     dst = np.ascontiguousarray(graph.dst[alive], dtype=np.int32)
     w_inv = np.ascontiguousarray(w_inv, dtype=np.int32)
     m_inv = np.ascontiguousarray(m_inv, dtype=np.int32)
-    import contextlib
-    import os
 
-    tmp = f"{out_path}.tmp.{os.getpid()}"
-    got = lib.nj_write_dot(
-        tmp.encode(), shared.num_nodes, node_hash.ctypes.data,
-        len(assemblies), p_blob, p_off.ctypes.data, base.ctypes.data,
-        ctg.ctypes.data, pos.ctypes.data,
-        alive.shape[0], src.ctypes.data, dst.ctypes.data,
-        w_inv.ctypes.data, w_blob, w_off.ctypes.data,
-        m_inv.ctypes.data, c_blob, c_off.ctypes.data,
-    )
-    if got != shared.num_nodes + alive.shape[0]:
-        with contextlib.suppress(OSError):
-            os.unlink(tmp)
+    class _NativeDotFailed(Exception):
+        pass
+
+    try:
+        with atomic_path(out_path) as tmp:
+            got = lib.nj_write_dot(
+                tmp.encode(), shared.num_nodes, node_hash.ctypes.data,
+                len(assemblies), p_blob, p_off.ctypes.data, base.ctypes.data,
+                ctg.ctypes.data, pos.ctypes.data,
+                alive.shape[0], src.ctypes.data, dst.ctypes.data,
+                w_inv.ctypes.data, w_blob, w_off.ctypes.data,
+                m_inv.ctypes.data, c_blob, c_off.ctypes.data,
+            )
+            if got != shared.num_nodes + alive.shape[0]:
+                raise _NativeDotFailed
+    except _NativeDotFailed:
         return False  # python writer takes over
-    os.replace(tmp, out_path)
     return True
 
 

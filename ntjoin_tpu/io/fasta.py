@@ -72,7 +72,7 @@ def read_fasta(path: str) -> list[FastaRecord]:
             if line.startswith(">"):
                 if name is not None:
                     records.append(FastaRecord(name, "".join(chunks)))
-                name = line[1:].split()[0] if len(line) > 1 else ""
+                name = (line[1:].split() or [""])[0]
                 chunks = []
             elif name is not None:
                 chunks.append(line.strip())
@@ -107,7 +107,9 @@ class FastaStore:
         self._records: dict[str, FastaRecord] | None = None
         self._fai: dict[str, tuple[int, int, int, int]] = {}
         self._order: list[str] = []
-        if path.endswith(".gz"):
+        if path.endswith(".gz") or os.path.getsize(path) == 0:
+            # gz inputs and zero-byte files (mmap rejects empty maps) take
+            # the in-memory path
             self._records = read_fasta_dict(path)
             self._order = list(self._records)
             return
@@ -166,7 +168,9 @@ class FastaStore:
         return list(self._order)
 
     def __contains__(self, name: str) -> bool:
-        return name in (self._fai or self._records)
+        if self._records is not None:
+            return name in self._records
+        return name in self._fai
 
     def length(self, name: str) -> int:
         if self._records is not None:
@@ -233,15 +237,18 @@ def write_fai(path: str, out_path: str | None = None) -> str:
 
         lib = _native._load()
         if lib is not None:
-            import contextlib
+            from ntjoin_tpu.utils.atomic import atomic_path
 
-            tmp = f"{out_path}.tmp.{os.getpid()}"
-            got = lib.nj_write_fai(path.encode(), tmp.encode())
-            if got >= 0:
-                os.replace(tmp, out_path)
+            class _NativeFaiFailed(Exception):
+                pass
+
+            try:
+                with atomic_path(out_path) as tmp:
+                    if lib.nj_write_fai(path.encode(), tmp.encode()) < 0:
+                        raise _NativeFaiFailed
                 return out_path
-            with contextlib.suppress(OSError):  # python writer takes over
-                os.unlink(tmp)
+            except _NativeFaiFailed:
+                pass  # python writer takes over
     rows = []
     with open(path, "rb") as fh:
         name = None
@@ -271,7 +278,7 @@ def write_fai(path: str, out_path: str | None = None) -> str:
             if stripped.startswith(b">"):
                 if name is not None:
                     _flush()
-                name = stripped[1:].split()[0].decode()
+                name = (stripped[1:].split() or [b""])[0].decode()
                 length = 0
                 offset = pos + line_len
                 first_line = True

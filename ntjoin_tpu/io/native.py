@@ -184,9 +184,14 @@ def read_fasta_native(path: str):
         raise FileNotFoundError(path)
     try:
         out = []
-        name_buf = ctypes.create_string_buffer(4096)
+        cap = 4096
+        name_buf = ctypes.create_string_buffer(cap)
         for i in range(lib.nj_fasta_count(h)):
-            lib.nj_fasta_name(h, i, name_buf, 4096)
+            need = lib.nj_fasta_name(h, i, name_buf, cap)
+            if need >= cap:  # metadata-stuffed header: grow and re-read
+                cap = int(need) + 1
+                name_buf = ctypes.create_string_buffer(cap)
+                lib.nj_fasta_name(h, i, name_buf, cap)
             n = lib.nj_fasta_len(h, i)
             # single copy via string_at; latin-1 decode is a memcpy for the
             # byte-for-byte FASTA alphabet

@@ -52,10 +52,12 @@ class BloomFilter:
     # -- persistence (btllib repeat BFs are loaded from files) -----------
 
     def save(self, path: str) -> None:
+        from ntjoin_tpu.utils.atomic import atomic_write
+
         header = json.dumps(
             {"size_bits": self.size, "num_hashes": self.num_hashes}
         ).encode()
-        with open(path, "wb") as fh:
+        with atomic_write(path, mode="wb") as fh:
             fh.write(_MAGIC)
             fh.write(len(header).to_bytes(4, "little"))
             fh.write(header)
