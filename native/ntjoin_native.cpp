@@ -50,6 +50,37 @@ inline uint64_t sror1(uint64_t x) {  // srol^{-1}: both groups rotate right 1
   return (high << 33) | low;
 }
 
+// Shared rolling-hash core (the bit-exactness contract lives in ONE place:
+// both nj_canonical_hashes and nj_sketch advance through these).
+struct RollTabs {
+  uint64_t out[4], rc_in[4];
+  explicit RollTabs(int k) {
+    for (int c = 0; c < 4; ++c) {
+      out[c] = srol_n(kSeed[c], (unsigned)k);
+      rc_in[c] = srol_n(kSeed[3 - c], (unsigned)(k - 1));
+    }
+  }
+};
+
+// (Re)build both strand states from the k-mer starting at codes[p].
+inline void roll_build(const uint8_t* codes, int64_t p, int k,
+                       uint64_t& f, uint64_t& r) {
+  f = 0; r = 0;
+  for (int j = 0; j < k; ++j) {
+    f = srol(f) ^ kSeed[codes[p + j]];
+    r = srol(r) ^ kSeed[3 - codes[p + k - 1 - j]];
+  }
+}
+
+// Advance both strands by one base (oc leaves, ic enters):
+//   f' = srol(f) ^ srol^k(seed[oc]) ^ seed[ic]
+//   r' = srol^{-1}(r ^ seed[rc(oc)]) ^ srol^{k-1}(seed[rc(ic)])
+inline void roll_step(const RollTabs& tabs, uint8_t oc, uint8_t ic,
+                      uint64_t& f, uint64_t& r) {
+  f = srol(f) ^ tabs.out[oc] ^ kSeed[ic];
+  r = sror1(r ^ kSeed[3 - oc]) ^ tabs.rc_in[ic];
+}
+
 inline uint64_t nte1(uint64_t h, unsigned k) {
   uint64_t t = h * (1ULL ^ (uint64_t)k * kMultiSeed);
   return t ^ (t >> kMultiShift);
@@ -101,11 +132,7 @@ void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
   if (n < k) return;
   int64_t nk = n - k + 1;
   // O(n) rolling with both strands: maintain f and r.
-  uint64_t tab_out[4], tab_rc_in[4];
-  for (int c = 0; c < 4; ++c) {
-    tab_out[c] = srol_n(kSeed[c], (unsigned)k);
-    tab_rc_in[c] = srol_n(kSeed[3 - c], (unsigned)(k - 1));
-  }
+  RollTabs tabs(k);
   uint64_t f = 0, r = 0;
   bool have = false;
   for (int64_t p = 0; p < nk; ++p) {
@@ -127,17 +154,10 @@ void nj_canonical_hashes(const uint8_t* codes, int64_t n, int k,
     valid[p] = ok ? 1 : 0;
     if (!ok) { have = false; hashes[p] = 0; continue; }
     if (!have) {
-      f = 0; r = 0;
-      for (int j = 0; j < k; ++j) {
-        f = srol(f) ^ kSeed[codes[p + j]];
-        r = srol(r) ^ kSeed[3 - codes[p + k - 1 - j]];
-      }
+      roll_build(codes, p, k, f, r);
       have = true;
     } else {
-      uint8_t oc = codes[p - 1], ic = codes[p + k - 1];
-      f = srol(f) ^ tab_out[oc] ^ kSeed[ic];
-      // reverse strand: r' = srol^{-1}(r ^ seed[rc(oc)]) ^ srol^{k-1}(seed[rc(ic)])
-      r = sror1(r ^ kSeed[3 - oc]) ^ tab_rc_in[ic];
+      roll_step(tabs, codes[p - 1], codes[p + k - 1], f, r);
     }
     hashes[p] = f + r;
   }
@@ -150,11 +170,7 @@ int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
                   int64_t* positions, uint64_t* hashes, int64_t cap) {
   if (k > n || w > n - k + 1) return 0;
   int64_t nk = n - k + 1;
-  uint64_t tab_out[4], tab_rc_in[4];
-  for (int c = 0; c < 4; ++c) {
-    tab_out[c] = srol_n(kSeed[c], (unsigned)k);
-    tab_rc_in[c] = srol_n(kSeed[3 - c], (unsigned)(k - 1));
-  }
+  RollTabs tabs(k);
   // deque slots over the last <= w valid kmers
   struct Slot { uint64_t hash; int64_t pos; int64_t sidx; };
   int64_t dsz = 1;
@@ -174,19 +190,13 @@ int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
       for (int j = 0; j < k; ++j)
         if (codes[p + j] >= kInvalid) { ok = false; break; }
       if (ok) {
-        f = 0; r = 0;
-        for (int j = 0; j < k; ++j) {
-          f = srol(f) ^ kSeed[codes[p + j]];
-          r = srol(r) ^ kSeed[3 - codes[p + k - 1 - j]];
-        }
+        roll_build(codes, p, k, f, r);
         have = true;
       }
     } else {
       ok = ic < kInvalid;
       if (ok) {
-        uint8_t oc = codes[p - 1];
-        f = srol(f) ^ tab_out[oc] ^ kSeed[ic];
-        r = sror1(r ^ kSeed[3 - oc]) ^ tab_rc_in[ic];
+        roll_step(tabs, codes[p - 1], ic, f, r);
       } else {
         have = false;
       }
@@ -217,23 +227,75 @@ int64_t nj_sketch(const uint8_t* codes, int64_t n, int k, int w,
 // Tile-parallel sketch: threads own disjoint window ranges with one extra
 // left seam window each; halos make every window exact and the merge drops
 // the duplicate seam emission (same halo algebra as the device mesh path).
-// Falls back to the single-pass sketcher when the record contains non-ACGT
-// bases (windows slide over valid k-mers and may span beyond a halo).
+// Windows slide over VALID k-mers, so N-containing records tile in
+// valid-k-mer STREAM space: thread boundaries are resolved to the base
+// positions of their stream ranks (two cheap O(n) scans), exactly like
+// parallel/mesh.py's stream-split.  (The old code fell back to the
+// single-thread sketcher for ANY non-ACGT base, serializing every real
+// N-gapped scaffold input.)
 int64_t nj_sketch_mt(const uint8_t* codes, int64_t n, int k, int w,
                      int threads, int64_t* positions, uint64_t* hashes,
                      int64_t cap) {
   if (k > n || w > n - k + 1) return 0;
   int64_t nk = n - k + 1;
-  int64_t nw = nk - w + 1;
-  if (threads <= 1 || nw < threads * 4096) {
+  // one pass: count valid k-mers (ns) and detect invalid bases
+  int64_t ns = 0, last_bad = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (codes[i] >= kInvalid) last_bad = i;
+    if (i >= k - 1 && i - last_bad >= k) ++ns;
+  }
+  bool clean = ns == nk;
+  int64_t nsw = ns - w + 1;  // stream windows
+  if (threads <= 1 || nsw < (int64_t)threads * 4096) {
     return nj_sketch(codes, n, k, w, positions, hashes, cap);
   }
-  for (int64_t i = 0; i < n; ++i) {
-    if (codes[i] >= kInvalid) {
-      return nj_sketch(codes, n, k, w, positions, hashes, cap);
+  int64_t per = (nsw + threads - 1) / threads;
+  // per-thread base ranges: identity mapping for clean records, resolved
+  // stream ranks otherwise (lo rank includes the lead seam window)
+  std::vector<int64_t> blo((size_t)threads), bhi((size_t)threads);
+  std::vector<int64_t> wown((size_t)threads);
+  {
+    std::vector<int64_t> lo_rank((size_t)threads), hi_rank((size_t)threads);
+    for (int t = 0; t < threads; ++t) {
+      int64_t w_lo = (int64_t)t * per;
+      int64_t w_hi = w_lo + per < nsw ? w_lo + per : nsw;
+      wown[t] = w_hi - w_lo;
+      if (wown[t] <= 0) continue;
+      lo_rank[t] = w_lo - (t > 0 ? 1 : 0);
+      int64_t last = w_hi - 1 + w - 1;  // last window's last k-mer rank
+      hi_rank[t] = last < ns - 1 ? last : ns - 1;
+    }
+    if (clean) {
+      for (int t = 0; t < threads; ++t) {
+        if (wown[t] <= 0) continue;
+        blo[t] = lo_rank[t];
+        bhi[t] = hi_rank[t] + k;
+      }
+    } else {
+      // second pass: resolve the (ascending) rank targets to k-mer start
+      // positions; both target lists are ascending in t -> merge-scan
+      int tl = 0, th = 0;
+      while (tl < threads && wown[tl] <= 0) ++tl;
+      while (th < threads && wown[th] <= 0) ++th;
+      int64_t rank = 0;
+      last_bad = -1;
+      for (int64_t i = 0; i < n && (tl < threads || th < threads); ++i) {
+        if (codes[i] >= kInvalid) last_bad = i;
+        if (i >= k - 1 && i - last_bad >= k) {
+          int64_t start = i - k + 1;
+          while (tl < threads && lo_rank[tl] == rank) {
+            blo[tl] = start;
+            do { ++tl; } while (tl < threads && wown[tl] <= 0);
+          }
+          while (th < threads && hi_rank[th] == rank) {
+            bhi[th] = start + k;
+            do { ++th; } while (th < threads && wown[th] <= 0);
+          }
+          ++rank;
+        }
+      }
     }
   }
-  int64_t per = (nw + threads - 1) / threads;
   struct Part {
     std::vector<int64_t> pos;
     std::vector<uint64_t> hash;
@@ -243,12 +305,10 @@ int64_t nj_sketch_mt(const uint8_t* codes, int64_t n, int k, int w,
   for (int t = 0; t < threads; ++t) {
     pool.emplace_back([&, t]() {
       int64_t w_lo = (int64_t)t * per;
-      int64_t w_hi = w_lo + per < nw ? w_lo + per : nw;
+      int64_t w_hi = w_lo + per < nsw ? w_lo + per : nsw;
       if (w_lo >= w_hi) return;
-      int64_t lead = t > 0 ? 1 : 0;  // one extra left window for seam dedupe
-      int64_t base_lo = w_lo - lead;
-      int64_t base_hi = w_hi - 1 + w + k - 1;  // last window's last base
-      int64_t len = base_hi - base_lo;
+      int64_t base_lo = blo[t];
+      int64_t len = bhi[t] - base_lo;
       // expected emissions ~= 2*windows/w (each window moves the argmin with
       // prob ~2/w); size for 4x that and grow geometrically on overflow
       // rather than touching a windows-sized zeroed buffer up front.
@@ -364,6 +424,8 @@ int64_t nj_write_fai(const char* path, const char* out_path) {
       first_line = true;
       uniform = true;
       saw_blank = false;
+      linebases = 0;  // empty records write 0/0 like samtools (no
+      linewidth = 0;  // stale values from the previous record)
     } else if (have && stripped > 0) {
       if (first_line) {
         linebases = stripped;
@@ -404,8 +466,9 @@ int64_t nj_write_fai(const char* path, const char* out_path) {
   }
   if (!carry.empty()) handle_line(carry.data(), (int64_t)carry.size());
   flush_record();
+  bool bad = ferror(f) || ferror(out);
   fclose(f);
-  fclose(out);
+  if (fclose(out) != 0 || bad) return -1;  // honor the -1-on-IO-error contract
   return count;
 }
 
@@ -479,7 +542,8 @@ int64_t nj_write_dot(
   }
   buf.append("}\n");
   fwrite(buf.data(), 1, buf.size(), out);
-  fclose(out);
+  bool bad = ferror(out) != 0;
+  if (fclose(out) != 0 || bad) return -1;  // truncated DOT must not pass
   return num_nodes + n_edges;
 }
 
@@ -496,27 +560,40 @@ void* nj_fasta_open(const char* path) {
   NjFasta* fa = new NjFasta();
   std::string line;
   line.reserve(1 << 16);
-  char buf[1 << 16];
+  std::vector<char> buf((size_t)1 << 20);
   std::string cur;
   bool in_rec = false;
-  while (fgets(buf, sizeof(buf), f)) {
-    size_t len = strlen(buf);
-    bool eol = len && buf[len - 1] == '\n';
-    if (eol) buf[--len] = 0;
-    if (len && buf[len - 1] == '\r') buf[--len] = 0;
-    line.append(buf, len);
-    if (!eol) continue;  // long line split across fgets calls
-    if (!line.empty() && line[0] == '>') {
+  // NUL-safe framing: fgets+strlen silently merged lines (and whole
+  // records) when a corrupt input contained a 0 byte; scan fread chunks
+  // for newlines instead, like nj_write_fai does.
+  auto handle = [&]() {
+    size_t len = line.size();
+    if (len && line[len - 1] == '\r') line.resize(--len);
+    if (len && line[0] == '>') {
       if (in_rec) fa->seqs.push_back(cur);
       size_t sp = line.find_first_of(" \t");
-      fa->names.push_back(line.substr(1, sp == std::string::npos ? line.size() - 1 : sp - 1));
+      fa->names.push_back(
+          line.substr(1, sp == std::string::npos ? len - 1 : sp - 1));
       cur.clear();
       in_rec = true;
     } else if (in_rec) {
       cur += line;
     }
     line.clear();
+  };
+  size_t got;
+  while ((got = fread(buf.data(), 1, buf.size(), f)) > 0) {
+    size_t start = 0;
+    for (size_t i = 0; i < got; ++i) {
+      if (buf[i] == '\n') {
+        line.append(buf.data() + start, i - start);
+        handle();
+        start = i + 1;
+      }
+    }
+    if (start < got) line.append(buf.data() + start, got - start);
   }
+  if (!line.empty()) handle();
   if (in_rec) fa->seqs.push_back(cur);
   fclose(f);
   return fa;

@@ -28,18 +28,25 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, "libntjoin_native.so")
-    if not os.path.exists(so):
-        src = os.path.join(_NATIVE_DIR, "ntjoin_native.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
-                return None
+    src = os.path.join(_NATIVE_DIR, "ntjoin_native.cpp")
+    stale = (
+        os.path.exists(src)
+        and os.path.exists(so)
+        and os.path.getmtime(so) < os.path.getmtime(src)
+    )
+    if (not os.path.exists(so) or stale) and os.path.exists(src):
+        # (re)build on first use AND whenever the source is newer than the
+        # binary — loading a stale .so would silently ignore source fixes
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            if stale:
+                return None  # never load a known-stale binary
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)

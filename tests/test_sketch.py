@@ -112,3 +112,60 @@ def test_window_tiebreak_leftmost():
     diffs = np.diff(s.positions)
     assert (diffs == 2).all()
     assert len(set(s.hashes.tolist())) == 1
+
+
+def test_native_mt_stream_space_tiling():
+    """N-containing records must tile across threads in valid-k-mer
+    STREAM space (round-5 review: any non-ACGT base used to serialize the
+    whole record), bit-equal to the oracle at every thread count."""
+    import numpy as np
+
+    from ntjoin_tpu.io.native import available, sketch_codes_native
+    from ntjoin_tpu.ops.nthash_np import sketch_codes
+
+    if not available():  # pragma: no cover - toolchain-less environments
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 4, size=300_000).astype(np.uint8)
+    codes[:40] = 4  # leading N run
+    for s in (50_000, 120_000, 240_000):
+        codes[s : s + 2_000] = 4  # long interior gaps
+    codes[-25:] = 4  # trailing run
+    ref = sketch_codes(codes, 32, 25)
+    for th in (2, 3, 8):
+        got = sketch_codes_native(codes, 32, 25, threads=th)
+        assert got.positions.tolist() == ref.positions.tolist(), th
+        assert got.hashes.tolist() == ref.hashes.tolist(), th
+
+
+def test_native_fasta_nul_safe():
+    """A stray NUL byte in a FASTA must not merge records (round-5
+    review: fgets+strlen framing lost whole contigs)."""
+    import tempfile
+
+    from ntjoin_tpu.io import native as nat
+    from ntjoin_tpu.io.fasta import read_fasta
+
+    if not nat.available():  # pragma: no cover
+        import pytest
+
+        pytest.skip("native library not built")
+    with tempfile.NamedTemporaryFile(
+        "wb", suffix=".fa", delete=False
+    ) as fh:
+        fh.write(b">a\nAC\x00GT\n>b\nAAAA\n")
+        path = fh.name
+    recs = nat.read_fasta_native(path)
+    assert [r.id for r in recs] == ["a", "b"]
+    assert recs[1].seq == "AAAA"
+    # python fallback frames identically (NUL lands inside record a)
+    orig = nat._load
+    try:
+        nat._load = lambda: None
+        recs_py = read_fasta(path)
+    finally:
+        nat._load = orig
+    assert [r.id for r in recs_py] == ["a", "b"]
+    assert recs_py[1].seq == "AAAA"
