@@ -284,6 +284,8 @@ def write_fai(path: str, out_path: str | None = None) -> str:
                 first_line = True
                 uniform = True
                 saw_blank = False
+                linebases = 0  # empty records write 0/0 like samtools
+                linewidth = 0
             elif name is not None and stripped:
                 if first_line:
                     linebases = len(stripped)

@@ -333,3 +333,25 @@ def test_fasta_store_ragged_last_line_longer(tmp_path):
     store2 = FastaStore(str(fa))
     assert store2.subseq("r", 12, 16) == "CAGT"
     store2.close()
+
+
+def test_fai_empty_record_rows(tmp_path):
+    """Empty records write linebases/linewidth 0/0 like samtools, not the
+    previous record's stale values — native and python writers agree."""
+    from ntjoin_tpu.io import native as nat
+    from ntjoin_tpu.io.fasta import write_fai
+
+    fa = tmp_path / "e.fa"
+    fa.write_text(">a\nACGTAC\nACGTAC\nACG\n>empty\n>b\nAC\n")
+    write_fai(str(fa), str(tmp_path / "n.fai"))
+    orig = nat._load
+    try:
+        nat._load = lambda: None
+        write_fai(str(fa), str(tmp_path / "p.fai"))
+    finally:
+        nat._load = orig
+    n = (tmp_path / "n.fai").read_text()
+    assert n == (tmp_path / "p.fai").read_text()
+    rows = {r.split("\t")[0]: r.split("\t") for r in n.splitlines()}
+    assert rows["empty"][1] == "0" and rows["empty"][3:] == ["0", "0"]
+    assert rows["a"][3:] == ["6", "7"] and rows["b"][1] == "2"
