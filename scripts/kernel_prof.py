@@ -324,6 +324,44 @@ def main() -> int:
             os.environ.pop("NTJOIN_TPU_SCAN", None)
             jax.clear_caches()
 
+    if "sweep4" in stages and left() > 300:
+        # FAST_SLOTS under slope timing (round-4's pick used sync-floor
+        # numbers); _SUB needs a fresh process (module-level layout)
+        import ntjoin_tpu.ops.sketch_pallas as _sp4
+
+        def slope_fused4():
+            def sync(o):
+                return int(o[3])
+
+            sync(_sketch_fused(dev, size, k, w, cap, interpret=interp))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.monotonic()
+                o = None
+                for _ in range(2):
+                    o = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+                sync(o)
+                ta = time.monotonic() - t0
+                t0 = time.monotonic()
+                for _ in range(12):
+                    o = _sketch_fused(dev, size, k, w, cap, interpret=interp)
+                sync(o)
+                tb = time.monotonic() - t0
+                best = min(best, (tb - ta) / 10)
+            return round(best * 1e3, 2)
+
+        for fs in (6, 8, 12):
+            _sp4._FAST_SLOTS = fs
+            jax.clear_caches()
+            try:
+                emit(f"sweep4_fastslots{fs}_ms", slope_fused4())
+            except Exception as e:  # noqa: BLE001
+                emit(f"sweep4_fastslots{fs}_ms", f"fail {type(e).__name__}")
+            if left() < 200:
+                break
+        _sp4._FAST_SLOTS = 8
+        jax.clear_caches()
+
     if "membw" in stages and left() > 200:
         # achievable HBM bandwidth on this chip: pallas block copy, XLA
         # elementwise (read+write), XLA reduce (read-only) over a
